@@ -1,0 +1,383 @@
+"""Layout-aware text extraction from PDF byte streams (pure stdlib).
+
+Replaces the reference's remote OCR of PDFs (``ocr_common.py:324-351``)
+with a deterministic local parse: objects and content streams are read
+directly from the PDF (FlateDecode via zlib), text-showing operators are
+tokenized into positioned spans, and spans are assembled into reading
+order — glyph-run clustering into lines, x-gap column detection,
+column-major top-down ordering, RTL x-descending within-line order for
+Arabic runs — i.e. the "layout-aware span assembly" the north rule asks
+for. Page texts are joined with ``"\\n\\n"`` and the result stripped,
+matching the reference page-join contract (``ocr_common.py:341-344``).
+
+Heuristic contract (documented so the corpus generator can derive golden
+text independently):
+
+* spans whose baselines differ by <= 2.0 pt form one line;
+* within a line, spans are joined with a single space, ordered by x
+  ascending — or descending when the line's text is majority-Arabic;
+* column detection: x-origins are clustered with 50 pt tolerance; if >= 2
+  clusters each hold >= 2 lines and adjacent cluster centers are >= 200 pt
+  apart, the page is multi-column, read column-major (leftmost first);
+* a vertical gap > 2 x the font size starts a new paragraph ("\\n\\n");
+  otherwise lines are joined with "\\n";
+* column boundaries are paragraph boundaries.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+LINE_Y_TOL = 2.0
+COL_CLUSTER_TOL = 50.0
+COL_MIN_GAP = 200.0
+COL_MIN_LINES = 2
+COL_SPLIT_GAP = 120.0  # same-baseline spans further apart than this are different columns
+PARA_GAP_FACTOR = 2.0
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj")
+_STREAM_RE = re.compile(rb"stream\r?\n")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
+_PAGES_REF_RE = re.compile(rb"/Pages\s+(\d+)\s+\d+\s+R")
+_KIDS_RE = re.compile(rb"/Kids\s*\[([^\]]*)\]")
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
+_TYPE_PAGE_RE = re.compile(rb"/Type\s*/Page\b")
+
+
+class PdfParseError(ValueError):
+    pass
+
+
+def _parse_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+    """Return {obj_num: (dict_bytes, stream_bytes|None)}."""
+    objs: dict[int, tuple[bytes, bytes | None]] = {}
+    for m in _OBJ_RE.finditer(data):
+        num = int(m.group(1))
+        start = m.end()
+        sm = _STREAM_RE.search(data, start)
+        em = data.find(b"endobj", start)
+        if em == -1:
+            continue
+        if sm is not None and sm.start() < em:
+            head = data[start : sm.start()]
+            lm = _LENGTH_RE.search(head)
+            if lm:
+                s0 = sm.end()
+                stream = data[s0 : s0 + int(lm.group(1))]
+            else:  # fall back to scanning for endstream
+                s0 = sm.end()
+                e0 = data.find(b"endstream", s0)
+                stream = data[s0:e0].rstrip(b"\r\n")
+            objs[num] = (head, stream)
+        else:
+            objs[num] = (data[start:em], None)
+    return objs
+
+
+def _page_content_streams(data: bytes) -> list[bytes]:
+    """Content stream bytes per page, in /Kids document order."""
+    objs = _parse_objects(data)
+
+    def decode(num: int) -> bytes:
+        head, stream = objs[num]
+        if stream is None:
+            raise PdfParseError(f"object {num} has no stream")
+        if b"/FlateDecode" in head:
+            return zlib.decompress(stream)
+        return stream
+
+    # catalog → /Pages → /Kids; fall back to document-order /Type /Page scan
+    page_nums: list[int] = []
+    root = next((n for n, (h, _) in sorted(objs.items()) if b"/Type" in h and b"/Catalog" in h), None)
+    if root is not None:
+        pm = _PAGES_REF_RE.search(objs[root][0])
+        if pm and int(pm.group(1)) in objs:
+            km = _KIDS_RE.search(objs[int(pm.group(1))][0])
+            if km:
+                page_nums = [int(r.group(1)) for r in _REF_RE.finditer(km.group(1))]
+    if not page_nums:
+        page_nums = [n for n, (h, _) in sorted(objs.items()) if _TYPE_PAGE_RE.search(h)]
+    streams: list[bytes] = []
+    for pn in page_nums:
+        cm = _CONTENTS_RE.search(objs[pn][0])
+        if not cm:
+            continue
+        streams.append(decode(int(cm.group(1))))
+    if not streams:
+        raise PdfParseError("no page content streams found")
+    return streams
+
+
+# ---------------------------------------------------------------------------
+# content-stream tokenizer
+# ---------------------------------------------------------------------------
+
+_ESCAPES = {
+    b"n"[0]: "\n", b"r"[0]: "\r", b"t"[0]: "\t", b"b"[0]: "\b", b"f"[0]: "\f",
+    b"("[0]: "(", b")"[0]: ")", b"\\"[0]: "\\",
+}
+
+
+def _tokenize(stream: bytes):
+    """Yield tokens: floats, names (/F1), operators, and ("str", text)."""
+    i, n = 0, len(stream)
+    while i < n:
+        c = stream[i : i + 1]
+        if c in b" \t\r\n":
+            i += 1
+        elif c == b"(":  # literal string
+            out = []
+            i += 1
+            depth = 1
+            while i < n and depth:
+                ch = stream[i]
+                if ch == 0x5C and i + 1 < n:  # backslash
+                    nxt = stream[i + 1]
+                    if nxt in _ESCAPES:
+                        out.append(_ESCAPES[nxt])
+                        i += 2
+                    elif 0x30 <= nxt <= 0x37:  # octal
+                        j = i + 1
+                        oct_digits = b""
+                        while j < n and len(oct_digits) < 3 and 0x30 <= stream[j] <= 0x37:
+                            oct_digits += stream[j : j + 1]
+                            j += 1
+                        out.append(chr(int(oct_digits, 8)))
+                        i = j
+                    else:
+                        i += 1
+                elif ch == 0x28:
+                    depth += 1
+                    out.append("(")
+                    i += 1
+                elif ch == 0x29:
+                    depth -= 1
+                    if depth:
+                        out.append(")")
+                    i += 1
+                else:
+                    out.append(chr(ch))
+                    i += 1
+            yield ("str", "".join(out))
+        elif c == b"<" and stream[i : i + 2] != b"<<":  # hex string
+            j = stream.find(b">", i)
+            hexbody = re.sub(rb"\s+", b"", stream[i + 1 : j])
+            if len(hexbody) % 2:
+                hexbody += b"0"
+            yield ("str", bytes.fromhex(hexbody.decode("ascii")).decode("utf-8", "replace"))
+            i = j + 1
+        elif c == b"<":  # dict open <<
+            i += 2
+            yield ("op", "<<")
+        elif c == b">" and stream[i : i + 2] == b">>":
+            i += 2
+            yield ("op", ">>")
+        elif c in b"[]":
+            yield ("op", c.decode())
+            i += 1
+        elif c == b"/":
+            m = re.match(rb"/[^\s\[\]()<>/]*", stream[i:])
+            yield ("name", m.group(0).decode("latin-1"))
+            i += len(m.group(0))
+        else:
+            m = re.match(rb"[-+]?\d*\.?\d+", stream[i:])
+            if m and m.group(0):
+                yield ("num", float(m.group(0)))
+                i += len(m.group(0))
+            else:
+                m = re.match(rb"[A-Za-z'\"*]+", stream[i:])
+                if m:
+                    yield ("op", m.group(0).decode("latin-1"))
+                    i += len(m.group(0))
+                else:
+                    i += 1  # unknown byte — skip
+
+
+def _spans_from_stream(stream: bytes) -> list[tuple[float, float, float, str]]:
+    """Execute text operators; return (x, y, size, text) spans."""
+    spans: list[tuple[float, float, float, str]] = []
+    stack: list = []
+    x = y = 0.0
+    line_x = line_y = 0.0
+    size = 12.0
+    leading = 0.0
+    for kind, val in _tokenize(stream):
+        if kind in ("num", "str", "name"):
+            stack.append((kind, val))
+            continue
+        op = val
+        if op == "BT":
+            x = y = line_x = line_y = 0.0
+        elif op == "Tf":
+            if stack and stack[-1][0] == "num":
+                size = stack[-1][1]
+        elif op in ("Td", "TD"):
+            if len(stack) >= 2 and stack[-1][0] == "num" and stack[-2][0] == "num":
+                tx, ty = stack[-2][1], stack[-1][1]
+                line_x += tx
+                line_y += ty
+                x, y = line_x, line_y
+                if op == "TD":
+                    leading = -ty
+        elif op == "Tm":
+            if len(stack) >= 6:
+                nums = [s[1] for s in stack[-6:] if s[0] == "num"]
+                if len(nums) == 6:
+                    line_x, line_y = nums[4], nums[5]
+                    x, y = line_x, line_y
+        elif op == "TL":
+            if stack and stack[-1][0] == "num":
+                leading = stack[-1][1]
+        elif op == "T*":
+            line_y -= leading
+            x, y = line_x, line_y
+        elif op == "Tj":
+            if stack and stack[-1][0] == "str":
+                spans.append((x, y, size, stack[-1][1]))
+        elif op == "'":
+            line_y -= leading
+            x, y = line_x, line_y
+            if stack and stack[-1][0] == "str":
+                spans.append((x, y, size, stack[-1][1]))
+        elif op == "TJ":
+            # array of strings/kerning numbers since the last "["
+            parts = []
+            for k, v in stack:
+                if k == "str":
+                    parts.append(v)
+            if parts:
+                spans.append((x, y, size, "".join(parts)))
+        if op not in ("<<", ">>", "[", "]"):  # "]" must not clear: TJ reads the array
+            stack = []
+    return spans
+
+
+# ---------------------------------------------------------------------------
+# span assembly: lines → columns → paragraphs → page text
+# ---------------------------------------------------------------------------
+
+_ARABIC_RE = re.compile(r"[؀-ۿݐ-ݿࢠ-ࣿﭐ-﷿ﹰ-﻿]")
+
+
+def is_rtl_text(text: str) -> bool:
+    """True when the text's letters are majority-Arabic (RTL layout)."""
+    letters = [c for c in text if c.isalpha()]
+    if not letters:
+        return False
+    arabic = sum(1 for c in letters if _ARABIC_RE.match(c))
+    return arabic * 2 > len(letters)
+
+
+def _cluster_lines(spans: list[tuple[float, float, float, str]]):
+    """Group spans into lines by baseline y (tolerance LINE_Y_TOL), then
+    split any line whose consecutive x-origins gap by > COL_SPLIT_GAP —
+    two columns sharing a baseline are different lines."""
+    grouped: list[dict] = []
+    for x, y, size, text in sorted(spans, key=lambda s: (-s[1], s[0])):
+        if grouped and abs(grouped[-1]["y"] - y) <= LINE_Y_TOL:
+            grouped[-1]["spans"].append((x, text))
+            grouped[-1]["size"] = max(grouped[-1]["size"], size)
+        else:
+            grouped.append({"y": y, "size": size, "spans": [(x, text)]})
+    lines: list[dict] = []
+    for ln in grouped:
+        run: list[tuple[float, str]] = []
+        for x, text in sorted(ln["spans"], key=lambda s: s[0]):
+            if run and x - run[-1][0] > COL_SPLIT_GAP:
+                lines.append({"y": ln["y"], "size": ln["size"], "spans": run})
+                run = []
+            run.append((x, text))
+        if run:
+            lines.append({"y": ln["y"], "size": ln["size"], "spans": run})
+    return lines
+
+
+def _line_text(line: dict) -> str:
+    rtl = is_rtl_text("".join(t for _, t in line["spans"]))
+    ordered = sorted(line["spans"], key=lambda s: -s[0] if rtl else s[0])
+    return " ".join(t for _, t in ordered if t)
+
+
+def _detect_columns(lines: list[dict]) -> list[list[dict]]:
+    """Cluster line x-origins; return lines grouped per column (l->r)."""
+    starts = sorted(min(x for x, _ in ln["spans"]) for ln in lines)
+    clusters: list[list[float]] = []
+    for s in starts:
+        if clusters and s - clusters[-1][0] <= COL_CLUSTER_TOL:
+            clusters[-1].append(s)
+        else:
+            clusters.append([s])
+    if len(clusters) < 2:
+        return [lines]
+    centers = [sum(c) / len(c) for c in clusters]
+    ok = all(len(c) >= COL_MIN_LINES for c in clusters) and all(
+        centers[i + 1] - centers[i] >= COL_MIN_GAP for i in range(len(centers) - 1)
+    )
+    if not ok:
+        return [lines]
+    bounds = [(centers[i] + centers[i + 1]) / 2 for i in range(len(centers) - 1)]
+    cols: list[list[dict]] = [[] for _ in clusters]
+    for ln in lines:
+        x0 = min(x for x, _ in ln["spans"])
+        ci = sum(1 for b in bounds if x0 > b)
+        cols[ci].append(ln)
+    return [c for c in cols if c]
+
+
+def _column_text(lines: list[dict]) -> str:
+    """Join a column's lines: '\\n' within paragraph, '\\n\\n' across."""
+    lines = sorted(lines, key=lambda ln: -ln["y"])
+    parts: list[str] = []
+    prev_y = None
+    prev_size = None
+    for ln in lines:
+        txt = _line_text(ln)
+        if not txt:
+            continue
+        if prev_y is None:
+            parts.append(txt)
+        else:
+            gap = prev_y - ln["y"]
+            sep = "\n\n" if gap > PARA_GAP_FACTOR * max(prev_size, ln["size"]) else "\n"
+            parts.append(sep + txt)
+        prev_y, prev_size = ln["y"], ln["size"]
+    return "".join(parts)
+
+
+def extract_pdf_pages(payload: bytes) -> list[str]:
+    """Per-page main text in reading order (columns joined with '\\n\\n')."""
+    out = []
+    for stream in _page_content_streams(payload):
+        spans = _spans_from_stream(stream)
+        if not spans:
+            out.append("")
+            continue
+        lines = _cluster_lines(spans)
+        cols = _detect_columns(lines)
+        out.append("\n\n".join(t for t in (_column_text(c) for c in cols) if t))
+    return out
+
+
+def extract_pdf(payload: bytes) -> tuple[str, list[tuple[int, int, str]], int]:
+    """Extract ``(text, spans, n_pages)`` from PDF bytes.
+
+    Page texts are joined with ``"\\n\\n"`` then stripped — the reference
+    page-join contract (``ocr_common.py:341-344``). Spans are
+    ``(start, end, kind)`` offsets of each page in the final text.
+    """
+    pages = extract_pdf_pages(payload)
+    parts: list[str] = []
+    spans: list[tuple[int, int, str]] = []
+    pos = 0
+    for i, page_text in enumerate(pages):
+        t = page_text.strip()
+        if not t:
+            continue
+        if parts:
+            pos += 2
+        spans.append((pos, pos + len(t), f"page_{i + 1}"))
+        pos += len(t)
+        parts.append(t)
+    return "\n\n".join(parts).strip(), spans, len(pages)

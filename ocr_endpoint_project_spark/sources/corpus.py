@@ -1,0 +1,271 @@
+"""Deterministic synthetic pages corpus (pure Python, no Spark imports).
+
+Mirrors the reference's ground-truth-database coverage matrix
+(``ground_truth_database/DATABASE.md:28-95``: formats x languages incl.
+RTL Arabic x mono/multi-column layouts x failure rows) as a seeded
+generator over the ``pages(url, warc_ts, html, text, lang)`` table shape
+from BASELINE.json ``input_hint``.
+
+The golden ``text`` column is derived from the CONTENT MODEL (the known
+main-content blocks), never from the extractors — so byte-identity tests
+(`extracted == golden` per url) are a real oracle, not a tautology.
+~30% of urls share one host (``skewed-host.example``) so url-hash salting
+is genuinely exercised, per SURVEY.md §7 risk 5.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass
+from datetime import datetime, timedelta, timezone
+
+from ..extraction_core.pdf_write import layout_paragraphs, make_pdf
+from ..extraction_core.png_stub import make_png_scan
+
+EN_WORDS = (
+    "data system pipeline content page extract crawl table spark batch "
+    "stream shuffle column layout anchor corpus token quality score merge "
+    "window partition salted hash resume lineage checkpoint vector index"
+).split()
+FR_WORDS = (
+    "donnée système contenu page texte colonne analyse corpus qualité "
+    "flux tableau moteur extraction partition reprise indice vecteur"
+).split()
+AR_WORDS = (
+    "بيانات نظام محتوى صفحة نص عمود تحليل جودة جدول محرك استخراج قسم فهرس متجه تدفق"
+).split()
+
+VOCAB = {"en": EN_WORDS, "fr": FR_WORDS, "ar": AR_WORDS}
+
+SKEWED_HOST = "skewed-host.example"
+HOSTS = ("alpha.example", "beta.example", "gamma.example", "delta.example")
+
+SECTION_HEADERS = {
+    "en": ("OVERVIEW", "METHODS", "RESULTS", "DISCUSSION", "APPENDIX"),
+    "fr": ("APERCU", "METHODES", "RESULTATS", "DISCUSSION", "ANNEXE"),
+    "ar": ("OVERVIEW", "METHODS", "RESULTS", "DISCUSSION", "APPENDIX"),
+}
+
+
+@dataclass
+class PageRow:
+    url: str
+    warc_ts: datetime
+    html: bytes | None  # raw payload (html/pdf/png bytes), per input_hint
+    text: str  # golden extracted text ("" => no-golden skip row)
+    lang: str
+    # catalog attributes (FIXTURES.md §2)
+    extension: str
+    layout_type: str
+    is_rtl: int
+    num_columns: int
+
+
+def _sentence(rng: random.Random, words: list[str], n: int) -> str:
+    ws = [rng.choice(words) for _ in range(n)]
+    return (ws[0].capitalize() + " " + " ".join(ws[1:])).strip()
+
+
+def _paragraph(rng: random.Random, words: list[str]) -> str:
+    return " ".join(
+        _sentence(rng, words, rng.randint(6, 12)) + "." for _ in range(rng.randint(2, 4))
+    )
+
+
+def _content_blocks(rng: random.Random, lang: str) -> list[tuple[str, str]]:
+    """The content model: (kind, text) blocks that ARE the main content."""
+    words = VOCAB[lang]
+    blocks: list[tuple[str, str]] = [
+        ("heading", _sentence(rng, words, rng.randint(3, 6)))
+    ]
+    for header in rng.sample(SECTION_HEADERS[lang], rng.randint(2, 4)):
+        blocks.append(("heading", header))
+        for _ in range(rng.randint(1, 3)):
+            blocks.append(("paragraph", _paragraph(rng, words)))
+    return blocks
+
+
+def _resume_blocks(rng: random.Random) -> list[tuple[str, str]]:
+    """Resume-grammar content (exercises the sections segmenter, E9)."""
+    words = EN_WORDS
+    first = rng.choice(words).capitalize()
+    last = rng.choice(words).capitalize()
+    blocks = [
+        ("paragraph", f"NAME: {first} {last}"),
+        ("paragraph", f"LOCATION: {rng.choice(HOSTS).split('.')[0].capitalize()} City"),
+        ("heading", "ABOUT"),
+        ("paragraph", _paragraph(rng, words)),
+        ("heading", "EXPERIENCE"),
+    ]
+    for _ in range(rng.randint(1, 3)):
+        blocks.append(
+            (
+                "paragraph",
+                f"- {_sentence(rng, words, 2)} | {_sentence(rng, words, 2)} Corp | "
+                f"20{rng.randint(10, 19)} | 20{rng.randint(20, 25)}",
+            )
+        )
+    blocks.append(("heading", "SKILLS"))
+    blocks.append(
+        (
+            "paragraph",
+            f"- Engineering: {rng.choice(words)}, {rng.choice(words)}, {rng.choice(words)}",
+        )
+    )
+    blocks.append(("heading", "INTERESTS"))
+    blocks.append(("paragraph", f"- {_sentence(rng, words, 3)}"))
+    return blocks
+
+
+# ---------------------------------------------------------------------------
+# payload renderers (content model -> bytes) + golden-text derivations
+# ---------------------------------------------------------------------------
+
+_NAV = (
+    "<nav><ul><li><a href='/'>Home</a></li><li><a href='/a'>Archive</a></li>"
+    "<li><a href='/c'>Contact</a></li></ul></nav>"
+)
+_FOOTER = "<footer><p>Copyright 2024 Example Corp. All rights reserved forever.</p></footer>"
+_ASIDE = "<aside><p>Trending: everything you must click today, ranked hourly.</p></aside>"
+
+
+def render_html(rng: random.Random, blocks: list[tuple[str, str]]) -> bytes:
+    """Wrap content blocks in boilerplate the extractor must strip.
+
+    Includes both subtree-dropped chrome (nav/footer/aside/script) and
+    blocks that must fail SCORING: link-dense paragraphs and short
+    fragments outside any dropped subtree.
+    """
+    parts = [
+        "<!DOCTYPE html><html><head><title>t</title>",
+        "<script>var x = 1;</script><style>p{color:red}</style></head><body>",
+        _NAV,
+        "<header><h1><a href='/'>Site Banner Headline</a></h1></header>",
+        "<main><article>",
+    ]
+    for kind, text in blocks:
+        if kind == "heading":
+            tag = rng.choice(("h1", "h2", "h3"))
+            parts.append(f"<{tag}>{text}</{tag}>")
+        else:
+            parts.append(f"<p>{text}</p>")
+        if rng.random() < 0.25:  # interleaved boilerplate that must be scored out
+            parts.append(
+                "<p><a href='/share'>Share this amazing article</a> "
+                "<a href='/sub'>Subscribe to newsletter now</a></p>"
+            )
+        if rng.random() < 0.2:
+            parts.append("<div>Ad slot 300x250</div>")
+    parts += [
+        "</article></main>",
+        "<div><ul>"
+        + "".join(
+            f"<li><a href='/r{i}'>Related story number {i} you may like</a></li>"
+            for i in range(4)
+        )
+        + "</ul></div>",
+        _ASIDE,
+        _FOOTER,
+        "</body></html>",
+    ]
+    return "".join(parts).encode("utf-8")
+
+
+def golden_from_blocks(blocks: list[tuple[str, str]]) -> str:
+    """HTML golden: kept blocks joined with '\\n\\n' (extractor contract)."""
+    return "\n\n".join(t for _, t in blocks).strip()
+
+
+def _wrap_words(text: str, per_line: int = 9) -> list[str]:
+    words = text.split(" ")
+    return [
+        " ".join(words[i : i + per_line]) for i in range(0, len(words), per_line)
+    ] or [""]
+
+
+def blocks_to_pdf_paragraphs(blocks: list[tuple[str, str]]) -> list[list[str]]:
+    """Content blocks -> PDF paragraphs (lists of wrapped lines)."""
+    return [
+        [text] if kind == "heading" else _wrap_words(text) for kind, text in blocks
+    ]
+
+
+def golden_from_paragraphs(paragraphs: list[list[str]]) -> str:
+    """PDF/PNG golden: lines joined '\\n', paragraphs joined '\\n\\n'."""
+    return "\n\n".join("\n".join(lines) for lines in paragraphs).strip()
+
+
+def render_pdf(blocks: list[tuple[str, str]], columns: int, rtl: bool) -> tuple[bytes, str]:
+    paragraphs = blocks_to_pdf_paragraphs(blocks)
+    pages = layout_paragraphs(paragraphs, columns=columns, rtl=rtl)
+    return make_pdf(pages, compress=True), golden_from_paragraphs(paragraphs)
+
+
+def render_png(blocks: list[tuple[str, str]]) -> tuple[bytes, str]:
+    paragraphs = blocks_to_pdf_paragraphs(blocks)
+    page_texts = ["\n".join(lines) for lines in paragraphs]
+    return make_png_scan(page_texts), "\n\n".join(page_texts).strip()
+
+
+# ---------------------------------------------------------------------------
+# corpus generator
+# ---------------------------------------------------------------------------
+
+_EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+
+def generate_corpus(n: int = 100, seed: int = 42, include_failures: bool = True) -> list[PageRow]:
+    """Generate ``n`` deterministic page rows covering the matrix."""
+    rng = random.Random(seed)
+    rows: list[PageRow] = []
+    for i in range(n):
+        # ~30% of urls on one host => host-level skew for salting tests
+        host = SKEWED_HOST if rng.random() < 0.3 else rng.choice(HOSTS)
+        url = f"https://{host}/doc/{i:06d}"
+        ts = _EPOCH + timedelta(seconds=i)
+        lang = rng.choice(("en", "en", "en", "fr", "ar"))
+        roll = rng.random()
+
+        if include_failures and i % 29 == 7:
+            # failure rows: empty payload / unknown bytes / golden-less row
+            sub = i % 3
+            if sub == 0:
+                rows.append(PageRow(url, ts, b"", "", lang, "bin", "mono", 0, 1))
+            elif sub == 1:
+                rows.append(
+                    PageRow(url, ts, b"\x00\x01binary-noise\x02", "", lang, "bin", "mono", 0, 1)
+                )
+            else:  # html payload but golden text missing -> skip-with-reason path
+                blocks = _content_blocks(rng, lang)
+                rows.append(
+                    PageRow(url, ts, render_html(rng, blocks), "", lang, "html", "mono", 0, 1)
+                )
+            continue
+
+        if i % 17 == 3:
+            # resume-grammar docs go through line-preserving formats (pdf)
+            # so the sections segmenter sees its grammar intact
+            blocks = _resume_blocks(rng)
+            payload, golden = render_pdf(blocks, columns=1, rtl=False)
+            rows.append(PageRow(url, ts, payload, golden, "en", "pdf", "mono", 0, 1))
+            continue
+
+        blocks = _content_blocks(rng, lang)
+        if roll < 0.60:
+            payload = render_html(rng, blocks)
+            golden = golden_from_blocks(blocks)
+            rows.append(PageRow(url, ts, payload, golden, lang, "html", "mono", 0, 1))
+        elif roll < 0.85:
+            rtl = lang == "ar"
+            columns = 2 if rng.random() < 0.4 else 1
+            payload, golden = render_pdf(blocks, columns=columns, rtl=rtl)
+            rows.append(
+                PageRow(
+                    url, ts, payload, golden, lang, "pdf",
+                    "multi" if columns == 2 else "mono", int(rtl), columns,
+                )
+            )
+        else:
+            payload, golden = render_png(blocks)
+            rows.append(PageRow(url, ts, payload, golden, lang, "png", "scan", 0, 1))
+    return rows

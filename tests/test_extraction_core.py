@@ -1,0 +1,207 @@
+"""Unit tests for the pure-Python extraction core (no Spark).
+
+The headline test: byte-identical extracted text per url over the full
+synthetic corpus, where golden text is derived from the content model —
+independent of the extractors (SURVEY.md §5, BASELINE.json per-row
+invariant).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ocr_endpoint_project_spark.extraction_core import (
+    extract_document,
+    extract_html,
+    extract_pdf,
+    extract_png_text,
+    sniff_doc_kind,
+)
+from ocr_endpoint_project_spark.extraction_core.document import (
+    ERR_FILE_TOO_LARGE,
+    ERR_INVALID_FILE_TYPE,
+    ERR_OCR_PROVIDER,
+    STATUS_FAILED,
+    STATUS_OK,
+)
+from ocr_endpoint_project_spark.extraction_core.pdf_write import (
+    TextSpan,
+    layout_paragraphs,
+    make_pdf,
+)
+from ocr_endpoint_project_spark.extraction_core.png_stub import make_png_scan
+from ocr_endpoint_project_spark.sources.corpus import generate_corpus
+
+
+# ---------------------------------------------------------------------------
+# sniffing
+# ---------------------------------------------------------------------------
+def test_sniff_kinds():
+    assert sniff_doc_kind(b"%PDF-1.4 junk") == "pdf"
+    assert sniff_doc_kind(b"\x89PNG\r\n\x1a\nrest") == "image"
+    assert sniff_doc_kind(b"<!DOCTYPE html><html></html>") == "html"
+    assert sniff_doc_kind(b"  <div>x</div>") == "html"
+    assert sniff_doc_kind(b"") == "empty"
+    assert sniff_doc_kind(None) == "empty"
+    assert sniff_doc_kind(b"\x00\x01\x02") == "unknown"
+
+
+# ---------------------------------------------------------------------------
+# HTML extraction
+# ---------------------------------------------------------------------------
+def test_html_basic_boilerplate_strip():
+    html = (
+        b"<html><head><title>T</title><script>x</script></head><body>"
+        b"<nav><ul><li><a href='/'>Home</a></li></ul></nav>"
+        b"<h1>A Real Headline Here</h1>"
+        b"<p>This paragraph is long enough to be kept as main content.</p>"
+        b"<p><a href='/x'>Subscribe now to our newsletter</a></p>"
+        b"<div>short</div>"
+        b"<footer><p>Copyright statement long enough to be a block.</p></footer>"
+        b"</body></html>"
+    )
+    text, spans = extract_html(html)
+    assert text == (
+        "A Real Headline Here\n\n"
+        "This paragraph is long enough to be kept as main content."
+    )
+    assert [k for _, _, k in spans] == ["heading", "paragraph"]
+    start, end, _ = spans[1]
+    assert text[start:end].startswith("This paragraph")
+
+
+def test_html_whitespace_collapse_and_entities():
+    html = b"<p>Alpha   beta\n\tgamma &amp; delta makes this long enough.</p>"
+    text, _ = extract_html(html)
+    assert text == "Alpha beta gamma & delta makes this long enough."
+
+
+def test_html_link_density_threshold():
+    # exactly half the collapsed text inside <a> -> density 0.5 > 0.35 -> dropped
+    linky = b"<p><a href='/'>aaaaaaaaaaaaaaaaaaaa</a>bbbbbbbbbbbbbbbbbbbb</p>"
+    text, _ = extract_html(linky)
+    assert text == ""
+    # light link inside long paragraph is fine
+    ok = b"<p>A sufficiently long paragraph where only <a href='/'>tiny</a> is linked text.</p>"
+    text2, _ = extract_html(ok)
+    assert "sufficiently long paragraph" in text2
+
+
+# ---------------------------------------------------------------------------
+# PDF extraction
+# ---------------------------------------------------------------------------
+def test_pdf_roundtrip_single_column():
+    paragraphs = [
+        ["Heading One"],
+        ["first line of paragraph", "second line of paragraph"],
+        ["another paragraph entirely"],
+    ]
+    pdf = make_pdf(layout_paragraphs(paragraphs), compress=True)
+    text, spans, n_pages = extract_pdf(pdf)
+    assert n_pages == 1
+    assert text == (
+        "Heading One\n\nfirst line of paragraph\nsecond line of paragraph"
+        "\n\nanother paragraph entirely"
+    )
+    assert spans and spans[0][2] == "page_1"
+
+
+def test_pdf_roundtrip_uncompressed_and_tj_array():
+    # hand-built content: Td positioning, literal strings, TJ array
+    spans = [TextSpan(50, 700, "hello wide world"), TextSpan(50, 686, "second line")]
+    pdf = make_pdf([spans], compress=False)
+    text, _, _ = extract_pdf(pdf)
+    assert text == "hello wide world\nsecond line"
+
+
+def test_pdf_two_columns_reading_order():
+    # enough paragraphs to overflow into the second column
+    paragraphs = [[f"col paragraph number {i} line a", f"col paragraph number {i} line b"] for i in range(14)]
+    pdf = make_pdf(layout_paragraphs(paragraphs, columns=2), compress=True)
+    text, _, n_pages = extract_pdf(pdf)
+    expected = "\n\n".join("\n".join(p) for p in paragraphs)
+    assert text == expected
+
+
+def test_pdf_rtl_reading_order():
+    paragraphs = [["بيانات نظام محتوى صفحة نص عمود تحليل جودة"]]
+    pdf = make_pdf(layout_paragraphs(paragraphs, rtl=True), compress=True)
+    text, _, _ = extract_pdf(pdf)
+    assert text == paragraphs[0][0]
+
+
+def test_pdf_multipage_join():
+    # force > 1 page: a single column fits ~  (740-60)/14 ≈ 48 lines
+    paragraphs = [[f"line {i} of a very long paragraph chain"] for i in range(60)]
+    pdf = make_pdf(layout_paragraphs(paragraphs), compress=True)
+    text, spans, n_pages = extract_pdf(pdf)
+    assert n_pages >= 2
+    assert text == "\n\n".join(p[0] for p in paragraphs)
+    assert {s[2] for s in spans} == {f"page_{i+1}" for i in range(n_pages)}
+
+
+# ---------------------------------------------------------------------------
+# PNG stub
+# ---------------------------------------------------------------------------
+def test_png_stub_roundtrip():
+    png = make_png_scan(["page one text\nwith a line", "page two text"])
+    text, spans, n_pages = extract_png_text(png)
+    assert n_pages == 2
+    assert text == "page one text\nwith a line\n\npage two text"
+    assert [s[2] for s in spans] == ["page_1", "page_2"]
+
+
+# ---------------------------------------------------------------------------
+# dispatcher + error taxonomy (cv_api/pipeline.py:93-151 semantics)
+# ---------------------------------------------------------------------------
+def test_extract_document_errors():
+    assert extract_document(b"").error == ERR_OCR_PROVIDER
+    assert extract_document(None).status == STATUS_FAILED
+    assert extract_document(b"\x00\x01garbage").error == ERR_INVALID_FILE_TYPE
+    big = b"%PDF-" + b"x" * 32
+    assert extract_document(big, max_bytes=10).error == ERR_FILE_TOO_LARGE
+    # corrupt PDF must become a failed ROW, never an exception
+    res = extract_document(b"%PDF-1.4 but empty")
+    assert res.status == STATUS_FAILED
+
+
+def test_extract_document_ok():
+    res = extract_document(b"<p>A paragraph long enough to pass the block scoring rule.</p>")
+    assert res.status == STATUS_OK
+    assert res.doc_kind == "html"
+    assert res.n_pages == 1
+    assert res.error is None
+
+
+# ---------------------------------------------------------------------------
+# THE byte-identity oracle: full corpus, golden from the content model
+# ---------------------------------------------------------------------------
+def test_corpus_byte_identity():
+    rows = generate_corpus(n=150, seed=42)
+    assert len(rows) == 150
+    kinds = {r.extension for r in rows}
+    assert {"html", "pdf", "png", "bin"} <= kinds
+    assert any(r.is_rtl for r in rows), "corpus must include RTL PDFs"
+    assert any(r.num_columns == 2 for r in rows), "corpus must include 2-col PDFs"
+    mismatches = []
+    for r in rows:
+        res = extract_document(r.html)
+        if r.text == "":
+            continue  # failure/no-golden rows checked elsewhere
+        if res.extracted_text != r.text:
+            mismatches.append((r.url, r.extension, res.error))
+    assert not mismatches, f"byte mismatches: {mismatches[:5]} ({len(mismatches)} total)"
+
+
+def test_corpus_determinism():
+    a = generate_corpus(n=40, seed=7)
+    b = generate_corpus(n=40, seed=7)
+    assert [(r.url, r.html, r.text) for r in a] == [(r.url, r.html, r.text) for r in b]
+    c = generate_corpus(n=40, seed=8)
+    assert [r.html for r in a] != [r.html for r in c]
+
+
+def test_corpus_skewed_host():
+    rows = generate_corpus(n=300, seed=42)
+    skewed = sum(1 for r in rows if "skewed-host" in r.url)
+    assert 0.2 <= skewed / len(rows) <= 0.4
