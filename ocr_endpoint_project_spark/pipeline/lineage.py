@@ -1,0 +1,136 @@
+"""Per-partition lineage + exact checkpoint resume (north_rule J6/O4).
+
+The reference's job state machine (``cv_api/main.py:223-301``: queued ->
+processing -> succeeded|failed, timings, lineage ids) becomes DATA: one
+lineage row per logical partition with doc/byte counts, an
+order-insensitive content checksum, and stage timestamps. Resume is a
+broadcast anti-join of the input against succeeded partition ids.
+
+Exactly-once contract: extracted rows are written with dynamic partition
+overwrite keyed by ``partition_id`` (re-running a partition REPLACES its
+directory, never duplicates it); the lineage append is the commit point
+and happens only after the data write returns. The reference's
+append-only results + derived-latest-snapshot idiom
+(``pages/parallel_ocr_test.py:56-68`` + ``scripts/export_benchmark_results.py:47-56``)
+is preserved for the lineage table itself: re-runs append, readers take
+the newest row per partition_id.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .extract import DEFAULT_PARTITIONS, run_extraction
+
+STATUS_SUCCEEDED = "succeeded"
+
+
+def lineage_rows(extracted: DataFrame, run_id: str) -> DataFrame:
+    """Aggregate extracted rows into one lineage row per partition.
+
+    Checksum: md5 over the sorted per-row md5s of extracted text — order-
+    insensitive, so it is stable under task re-ordering.
+    """
+    return (
+        extracted.groupBy("partition_id")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum(F.when(F.col("status") == STATUS_SUCCEEDED, 1).otherwise(0)).alias("ok_count"),
+            F.sum(F.when(F.col("status") != STATUS_SUCCEEDED, 1).otherwise(0)).alias(
+                "failed_count"
+            ),
+            F.sum(F.coalesce(F.col("doc_bytes"), F.lit(0))).alias("byte_count"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.sort_array(
+                        F.collect_list(F.md5(F.coalesce(F.col("extracted_text"), F.lit(""))))
+                    ),
+                )
+            ).alias("checksum"),
+        )
+        .select(
+            "partition_id",
+            F.lit(run_id).alias("run_id"),
+            "doc_count",
+            "ok_count",
+            "failed_count",
+            "byte_count",
+            "checksum",
+            F.current_timestamp().alias("started_at"),
+            F.current_timestamp().alias("finished_at"),
+            F.lit(STATUS_SUCCEEDED).alias("status"),
+        )
+    )
+
+
+def latest_lineage(lineage: DataFrame) -> DataFrame:
+    """Newest lineage row per partition (the reference's latest-snapshot
+    rule, ``scripts/export_benchmark_results.py:47-56``)."""
+    w = Window.partitionBy("partition_id").orderBy(
+        F.desc("finished_at"), F.desc("run_id")
+    )
+    return (
+        lineage.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def resume_filter(spark: SparkSession, lineage_dir: str) -> DataFrame | None:
+    """Succeeded partition ids from a previous run, or None on first run."""
+    try:
+        lin = spark.read.parquet(lineage_dir)
+    except Exception:  # noqa: BLE001 — no lineage yet => fresh run
+        return None
+    return (
+        latest_lineage(lin)
+        .filter(F.col("status") == STATUS_SUCCEEDED)
+        .select("partition_id")
+    )
+
+
+def run_with_lineage(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    run_id: str = "run-1",
+    num_partitions: int = DEFAULT_PARTITIONS,
+) -> dict:
+    """Execute (or resume) the extraction job with durable lineage.
+
+    Layout: ``{out_dir}/extracted`` (parquet, partitioned by partition_id,
+    dynamic overwrite) and ``{out_dir}/lineage`` (parquet, append-only).
+    Returns counters for the run.
+    """
+    extracted_dir = os.path.join(out_dir, "extracted")
+    lineage_dir = os.path.join(out_dir, "lineage")
+
+    done = resume_filter(spark, lineage_dir)
+    extracted = run_extraction(pages, num_partitions=num_partitions, done_partitions=done)
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        extracted.write.mode("overwrite")
+        .partitionBy("partition_id")
+        .parquet(extracted_dir)
+    )
+    # commit point: lineage appended only after the data write returned
+    done_rows = spark.read.parquet(extracted_dir)
+    if done is not None:
+        done_rows = done_rows.join(F.broadcast(done), "partition_id", "left_anti")
+    lin = lineage_rows(done_rows, run_id)
+    lin.write.mode("append").parquet(lineage_dir)
+
+    n_done = 0 if done is None else done.count()
+    lin_now = spark.read.parquet(lineage_dir)
+    return {
+        "run_id": run_id,
+        "resumed_partitions_skipped": n_done,
+        "partitions_total": latest_lineage(lin_now).count(),
+        "extracted_dir": extracted_dir,
+        "lineage_dir": lineage_dir,
+    }

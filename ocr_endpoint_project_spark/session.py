@@ -1,0 +1,51 @@
+"""SparkSession factory tuned for the extraction workload.
+
+Settings chosen for 100 TB-scale behavior (and verified at local[*]):
+
+* AQE on (runtime re-plan, skew-join splitting) — the url-hash salting in
+  ``pipeline/extract.py`` handles host skew at the repartition, AQE covers
+  residual shuffle skew;
+* Arrow batches capped LOW (64 rows): document blobs are up to 10 MB
+  (``cv_api/main.py:38-40`` cap), so batch memory is bounded by
+  ``rows x max_doc_bytes`` — the bounded-memory analog of the reference's
+  1 MB payload-compression ladder (``ocr_common.py:401-428``);
+* 128 MB target partition bytes on file scans — large enough to amortize
+  task overhead, small enough that a partition of blobs fits an executor.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ARROW_MAX_RECORDS = 64
+
+
+def build_session(
+    app_name: str = "ocr-endpoint-project-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if shuffle_partitions is not None:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    else:
+        builder = builder.config("spark.sql.shuffle.partitions", "32")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

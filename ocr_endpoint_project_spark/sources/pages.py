@@ -1,0 +1,58 @@
+"""Pages-table builders: from the synthetic corpus and from the driver's
+``documents`` parquet (for entry/bench/oracle runs on /root/testdata).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import PAGES_SCHEMA
+from .corpus import generate_corpus
+
+# Deterministic HTML wrapper used to turn a `documents` row into a page
+# payload IN CATALYST (no Python in the loop). The main-content block is
+# the document text; chrome around it must be stripped by the extractor.
+# Because document texts are single-spaced word sequences, whitespace
+# collapse is the identity and extracted_text == text byte-for-byte.
+_PRE = (
+    "<!DOCTYPE html><html><head><title>d</title><script>var x=1;</script></head>"
+    "<body><nav><ul><li><a href='/'>Home</a></li><li><a href='/c'>Contact</a></li></ul></nav>"
+    "<header><h1><a href='/'>Banner Headline Of The Site</a></h1></header>"
+    "<main><article><p>"
+)
+_POST = (
+    "</p></article></main>"
+    "<div><p><a href='/share'>Share this article with everyone</a></p></div>"
+    "<footer><p>Copyright 2024 Example Corp. All rights reserved.</p></footer>"
+    "</body></html>"
+)
+
+
+def corpus_pages(spark: SparkSession, n: int = 200, seed: int = 42) -> DataFrame:
+    """Synthetic corpus rows (sources/corpus.py) as a pages DataFrame."""
+    rows = [
+        (r.url, r.warc_ts, r.html, r.text, r.lang) for r in generate_corpus(n=n, seed=seed)
+    ]
+    return spark.createDataFrame(rows, PAGES_SCHEMA)
+
+
+def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a pages table from ``{sf_dir}/documents.parquet``.
+
+    Pure Catalyst (concat + cast to binary): url from (source, doc_id),
+    warc_ts from a fixed epoch + doc_id seconds, payload = deterministic
+    HTML wrapping of the text, golden text = the text itself.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/doc/"), F.col("doc_id")).alias(
+            "url"
+        ),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(secs=F.col("doc_id"))).alias(
+            "warc_ts"
+        ),
+        F.concat(F.lit(_PRE), F.col("text"), F.lit(_POST)).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )

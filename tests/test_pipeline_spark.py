@@ -1,0 +1,140 @@
+"""Spark-layer tests: the flagship pipeline end-to-end, byte-identity on
+the cluster, lineage + checkpoint resume, ingestion quarantine, and the
+structured-parse stage."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ocr_endpoint_project_spark.pipeline.extract import run_extraction, salted_pages
+from ocr_endpoint_project_spark.pipeline.ingest import validate_pages
+from ocr_endpoint_project_spark.pipeline.lineage import (
+    latest_lineage,
+    lineage_rows,
+    run_with_lineage,
+)
+from ocr_endpoint_project_spark.sources.pages import corpus_pages, pages_from_documents
+
+N_CORPUS = 120
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return corpus_pages(spark, n=N_CORPUS, seed=42).cache()
+
+
+def test_byte_identity_on_spark(spark, pages):
+    """The BASELINE.json per-row invariant, on the cluster: extracted text
+    byte-identical to golden per url (confusion-free harness: per-url
+    left join + equality, mismatches reported by url)."""
+    extracted = run_extraction(pages, num_partitions=16)
+    golden = pages.select("url", F.col("text").alias("golden"))
+    joined = extracted.join(golden, "url", "left")
+    checked = joined.filter(F.col("golden") != "")
+    mismatch = checked.filter(F.col("extracted_text") != F.col("golden"))
+    bad = [r["url"] for r in mismatch.select("url").limit(5).collect()]
+    assert mismatch.count() == 0, f"byte mismatches at urls: {bad}"
+    # every golden-bearing row extracted successfully
+    assert checked.filter(F.col("status") != "succeeded").count() == 0
+
+
+def test_failure_rows_become_rows_not_exceptions(spark, pages):
+    extracted = run_extraction(pages, num_partitions=8)
+    failed = extracted.filter(F.col("status") == "failed")
+    errs = {r["error"] for r in failed.select("error").distinct().collect()}
+    assert "OCR_PROVIDER_ERROR" in errs  # empty payload rows
+    assert "INVALID_FILE_TYPE" in errs  # binary-noise rows
+    assert extracted.count() == N_CORPUS
+
+
+def test_salted_partitioning_spreads_skewed_host(spark, pages):
+    """~30% of urls share one host; url-hash partitioning must still be
+    near-uniform (north_rule: salting defeats host-level skew)."""
+    df = salted_pages(pages, num_partitions=8)
+    sizes = (
+        df.filter(F.col("url").contains("skewed-host"))
+        .groupBy("partition_id")
+        .count()
+        .collect()
+    )
+    assert len(sizes) >= 6, "skewed host rows should spread across partitions"
+    counts = [r["count"] for r in sizes]
+    assert max(counts) <= 4 * max(1, min(counts)) + 4
+
+
+def test_partition_id_is_data_derived(spark, pages):
+    a = salted_pages(pages, num_partitions=16).select("url", "partition_id")
+    b = salted_pages(pages.repartition(3), num_partitions=16).select("url", "partition_id")
+    assert a.exceptAll(b).count() == 0  # same ids regardless of input layout
+
+
+def test_lineage_and_resume(spark, pages, tmp_path):
+    out = str(tmp_path / "job")
+    # run 1: only a subset of partitions "completed" — simulate by running
+    # the job on rows of partitions 0..7 only
+    tagged = salted_pages(pages, num_partitions=16)
+    subset = tagged.filter(F.col("partition_id") < 8).drop("partition_id")
+    r1 = run_with_lineage(spark, subset, out, run_id="run-1", num_partitions=16)
+    assert r1["resumed_partitions_skipped"] == 0
+    lin1 = latest_lineage(spark.read.parquet(r1["lineage_dir"]))
+    done1 = {r["partition_id"] for r in lin1.select("partition_id").collect()}
+    assert done1 and all(p < 8 for p in done1)
+
+    # run 2: full input, resume — partitions from run 1 must be skipped
+    r2 = run_with_lineage(spark, pages, out, run_id="run-2", num_partitions=16)
+    assert r2["resumed_partitions_skipped"] == len(done1)
+
+    # exactly-once: final extracted data covers every url exactly once
+    final = spark.read.parquet(r1["extracted_dir"])
+    assert final.count() == N_CORPUS
+    assert final.select("url").distinct().count() == N_CORPUS
+    # run-1 partitions were NOT reprocessed (their lineage still run-1)
+    lin2 = latest_lineage(spark.read.parquet(r2["lineage_dir"]))
+    runs = {r["partition_id"]: r["run_id"] for r in lin2.collect()}
+    assert all(runs[p] == "run-1" for p in done1)
+    # lineage accounting: doc counts sum to corpus size
+    assert sum(r["doc_count"] for r in lin2.collect()) == N_CORPUS
+
+
+def test_lineage_checksum_deterministic(spark, pages):
+    ex = run_extraction(pages, num_partitions=8).cache()
+    l1 = {r["partition_id"]: r["checksum"] for r in lineage_rows(ex, "a").collect()}
+    l2 = {r["partition_id"]: r["checksum"] for r in lineage_rows(ex.repartition(5), "b").collect()}
+    assert l1 == l2  # order-insensitive checksum
+    ex.unpersist()
+
+
+def test_validate_pages_quarantine(spark, pages):
+    valid, quarantined = validate_pages(pages)
+    assert valid.count() + quarantined.count() == N_CORPUS
+    codes = {r["error_code"] for r in quarantined.select("error_code").distinct().collect()}
+    assert "EMPTY_FILE" in codes
+    assert "INVALID_FILE_TYPE" in codes
+    # valid rows all extract without INVALID_FILE_TYPE
+    ex = run_extraction(valid, num_partitions=8)
+    assert ex.filter(F.col("error") == "INVALID_FILE_TYPE").count() == 0
+
+
+def test_structured_parse_stage(spark, pages):
+    from ocr_endpoint_project_spark.functions.kernels import parse_sections
+
+    extracted = run_extraction(pages, num_partitions=8)
+    resumes = extracted.filter(F.col("extracted_text").contains("NAME:"))
+    parsed = parse_sections(resumes)
+    rows = parsed.select("record.name", "record.experiences", "record.skills").collect()
+    assert rows, "corpus must contain resume-grammar docs"
+    for r in rows:
+        assert r["name"], "segmenter must recover the name"
+        assert r["experiences"] is not None
+        assert r["skills"] and r["skills"][0]["items"]
+
+
+def test_pages_from_documents_byte_identity(spark):
+    pages_df = pages_from_documents(spark, SF_DIR)
+    extracted = run_extraction(pages_df, num_partitions=8)
+    golden = pages_df.select("url", F.col("text").alias("golden"))
+    j = extracted.join(golden, "url")
+    assert j.filter(F.col("extracted_text") != F.col("golden")).count() == 0
+    assert j.count() == 500
