@@ -1,0 +1,94 @@
+"""Catalyst expression builders for the text layer — JVM-side, codegen'd,
+no Python in the hot path (SURVEY.md §2.3 "Spark primitive" column).
+
+Each builder returns a Column; the matching ANSI-SQL (DuckDB) oracle
+strings live next to the operators that use them in ``operators/``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def norm_tokens(col: Column | str) -> Column:
+    """normalize_words as pure Catalyst (ocr_common.py:111-115):
+    lowercase, punctuation -> space, split, drop empties."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.split(F.regexp_replace(F.lower(c), r"[^\w\s]", " "), r"\s+"),
+        lambda x: x != "",
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(norm_tokens(col))
+
+
+def cer_expr(gt: Column | str, pred: Column | str) -> Column:
+    """CER% as pure Catalyst via built-in levenshtein (ocr_common.py:136-141)."""
+    g = F.trim(F.col(gt) if isinstance(gt, str) else gt)
+    p = F.trim(F.col(pred) if isinstance(pred, str) else pred)
+    return F.when(F.length(g) == 0, F.lit(0.0)).otherwise(
+        F.levenshtein(g, p).cast("double") / F.length(g) * 100.0
+    )
+
+
+def word_ngrams(tokens: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of a token array (space-joined strings)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(tokens) - n),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+    )
+
+
+def shingle_hash32(shingle: Column) -> Column:
+    """Engine-portable 28-bit hash: first 7 hex chars of md5 — identical
+    in Spark (conv) and DuckDB (from_hex/strtol-style), unlike xxhash64
+    whose seeds differ across engines."""
+    return F.conv(F.substring(F.md5(shingle), 1, 7), 16, 10).cast("long")
+
+
+def minhash_value(h: Column, a: int, b: int, p: int = 2147483647) -> Column:
+    """One universal-hash permutation min-value input: (a*h + b) mod p."""
+    return (h * F.lit(a) + F.lit(b)) % F.lit(p)
+
+
+def stopword_hits(tokens: Column, stopwords: list[str]) -> Column:
+    """Multiset count of tokens that are stopwords (order of ops matches
+    the SQL oracle: filter then size)."""
+    arr = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+# SQL (DuckDB) fragments mirroring the builders above -------------------------
+
+SQL_NORM_TOKENS = (
+    "list_filter(regexp_split_to_array(lower(regexp_replace({col}, '[^\\w\\s]', ' ', 'g')),"
+    " '\\s+'), x -> x != '')"
+)
+SQL_TOKEN_COUNT = "len(" + SQL_NORM_TOKENS + ")"
+SQL_CER = (
+    "CASE WHEN length(trim({gt})) = 0 THEN 0.0 "
+    "ELSE CAST(levenshtein(trim({gt}), trim({pred})) AS DOUBLE) / length(trim({gt})) * 100.0 END"
+)
+# verified equal to the Spark conv() form: md5('abc') -> 151000329 both
+SQL_SHINGLE_HASH32 = "CAST(('0x' || substr(md5({s}), 1, 7)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# engine-stable rounding. Spark's round() goes through a decimal string
+# (BigDecimal HALF_UP: 0.53575 -> 0.5358) while DuckDB rounds the binary
+# double (0.53575 is stored as 0.5357499999... -> 0.5357). floor(x*1e4+0.5)
+# operates on the same IEEE double in both engines, so results match
+# bit-for-bit — required for the driver's value-hash compare.
+# ---------------------------------------------------------------------------
+
+def r4(c: Column) -> Column:
+    """Round half-up to 4 decimals, identically in Spark and DuckDB."""
+    return F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+
+
+def sql_r4(x: str) -> str:
+    """DuckDB twin of :func:`r4`."""
+    return f"floor(({x}) * 10000 + 0.5) / 10000"

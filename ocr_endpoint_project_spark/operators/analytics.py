@@ -1,0 +1,571 @@
+"""Relational analytics operators (SURVEY.md §2.4 aggregations, §2.5
+windows/rankings, §2.6 joins) expressed over the driver tables.
+
+The reference's results analytics run over its append-only runs table
+(``ocr_test_results``); here the ``events`` table plays that role —
+``user_id`` = document, ``event_type`` = model/variant, ``value`` =
+metric, ``ts`` = run_at, ``event_type='error'`` = error rows. TPC-H-ish
+tables exercise the join/aggregate layer at scale. Every query is pure
+Catalyst (codegen'd) with a DuckDB oracle; all are shuffle-minimal:
+single hash-aggregate or window per query, broadcast joins for dims.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import r4
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# A1: per-model summary (pages/parallel_ocr_test.py:220-228 semantics:
+# groupby(model).agg(mean(metric), ..., sum(cost), count) with round(2))
+# ---------------------------------------------------------------------------
+
+def q_per_model_summary(spark, sf_dir):
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            r4(F.avg("value")).alias("avg_value"),
+            r4(F.sum("value")).alias("sum_value"),
+            F.count(F.lit(1)).alias("n_runs"),
+        )
+    )
+
+
+SQL_PER_MODEL = """
+SELECT event_type, floor((avg(value)) * 10000 + 0.5) / 10000 AS avg_value,
+       floor((sum(value)) * 10000 + 0.5) / 10000 AS sum_value, count(*) AS n_runs
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# A4: error-mask filtered aggregation (pages/parallel_ocr_test.py:216:
+# aggregate only rows whose error is null/blank)
+# ---------------------------------------------------------------------------
+
+def q_error_mask_agg(spark, sf_dir):
+    return (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") != "error")
+        .groupBy("user_id")
+        .agg(
+            r4(F.avg("value")).alias("avg_value"),
+            F.count(F.lit(1)).alias("n_ok_runs"),
+        )
+    )
+
+
+SQL_ERROR_MASK = """
+SELECT user_id, floor((avg(value)) * 10000 + 0.5) / 10000 AS avg_value, count(*) AS n_ok_runs
+FROM events WHERE event_type != 'error' GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# A3: two-key grouped means (pages/parallel_ocr_test.py:286-296:
+# groupby([layout_type, model]).mean(metric) for charts)
+# ---------------------------------------------------------------------------
+
+def q_two_key_means(spark, sf_dir):
+    return (
+        _events(spark, sf_dir)
+        .groupBy((F.col("user_id") % 10).alias("user_bucket"), F.col("event_type"))
+        .agg(r4(F.avg("value")).alias("avg_value"))
+    )
+
+
+SQL_TWO_KEY = """
+SELECT user_id % 10 AS user_bucket, event_type, floor((avg(value)) * 10000 + 0.5) / 10000 AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# A5: success rate per model (scripts/generate_decision_report.py:127-137)
+# ---------------------------------------------------------------------------
+
+def q_success_rate(spark, sf_dir):
+    return (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("errors"),
+        )
+        .select(
+            "user_id",
+            "total",
+            "errors",
+            r4((F.col("total") - F.col("errors")) / F.col("total") * 100.0).alias(
+                "success_rate_pct"
+            ),
+        )
+    )
+
+
+SQL_SUCCESS_RATE = """
+SELECT user_id, total, errors,
+       floor(((total - errors) * 100.0 / total) * 10000 + 0.5) / 10000 AS success_rate_pct
+FROM (
+  SELECT user_id, count(*) AS total,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors
+  FROM events GROUP BY user_id
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# A6: runs-per-doc density describe (scripts/generate_decision_report.py:443-447)
+# ---------------------------------------------------------------------------
+
+def q_runs_per_doc(spark, sf_dir):
+    per_doc = _events(spark, sf_dir).groupBy("user_id").count()
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("count").alias("min_runs"),
+        F.max("count").alias("max_runs"),
+        r4(F.avg("count")).alias("avg_runs"),
+    )
+
+
+SQL_RUNS_PER_DOC = """
+SELECT count(*) AS n_docs, min(c) AS min_runs, max(c) AS max_runs,
+       floor((avg(c)) * 10000 + 0.5) / 10000 AS avg_runs
+FROM (SELECT user_id, count(*) AS c FROM events GROUP BY user_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# A7: error categorization + counts (scripts/generate_decision_report.py:79-89)
+# ---------------------------------------------------------------------------
+
+def q_error_categories(spark, sf_dir):
+    cat = (
+        F.when(F.col("value") < 10.0, F.lit("timeout"))
+        .when(F.col("value") < 50.0, F.lit("invalid_json"))
+        .otherwise(F.lit("other"))
+    )
+    return (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .groupBy(cat.alias("error_category"))
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+
+
+SQL_ERROR_CATS = """
+SELECT CASE WHEN value < 10.0 THEN 'timeout'
+            WHEN value < 50.0 THEN 'invalid_json'
+            ELSE 'other' END AS error_category,
+       count(*) AS n_errors
+FROM events WHERE event_type = 'error' GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# W1: latest snapshot — newest run per (doc, model)
+# (scripts/export_benchmark_results.py:47-56)
+# ---------------------------------------------------------------------------
+
+def q_latest_snapshot(spark, sf_dir):
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        _events(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", r4(F.col("value")).alias("value"))
+    )
+
+
+SQL_LATEST_SNAPSHOT = """
+SELECT user_id, event_type, event_id, floor((value) * 10000 + 0.5) / 10000 AS value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# W3: best-model top-1 by multi-key sort (pages/results_summary.py:74-81)
+# — deterministic tie-breaks; TakeOrderedAndProject physical op
+# ---------------------------------------------------------------------------
+
+def q_top1_per_model(spark, sf_dir):
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        _events(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "event_id", r4(F.col("value")).alias("best_value"))
+    )
+
+
+SQL_TOP1 = """
+SELECT event_type, event_id, floor((value) * 10000 + 0.5) / 10000 AS best_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# W4: pivot + per-doc delta + head-to-head wins
+# (scripts/generate_decision_report.py:303-315,453-479)
+# ---------------------------------------------------------------------------
+
+def q_pivot_delta(spark, sf_dir):
+    pv = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "view"])
+        .agg(F.avg("value"))
+    )
+    return pv.select(
+        "user_id",
+        r4(F.col("click")).alias("click_avg"),
+        r4(F.col("view")).alias("view_avg"),
+        r4(F.col("click") - F.col("view")).alias("delta"),
+    )
+
+
+SQL_PIVOT_DELTA = """
+SELECT user_id,
+       floor((avg(value) FILTER (event_type = 'click')) * 10000 + 0.5) / 10000 AS click_avg,
+       floor((avg(value) FILTER (event_type = 'view')) * 10000 + 0.5) / 10000 AS view_avg,
+       floor((avg(value) FILTER (event_type = 'click')
+             - avg(value) FILTER (event_type = 'view')) * 10000 + 0.5) / 10000 AS delta
+FROM events WHERE event_type IN ('click', 'view') GROUP BY user_id
+"""
+
+
+def q_head_to_head(spark, sf_dir):
+    pv = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "view"])
+        .agg(F.avg("value"))
+        .filter(F.col("click").isNotNull() & F.col("view").isNotNull())
+    )
+    return pv.agg(
+        F.sum(F.when(F.col("click") > F.col("view"), 1).otherwise(0)).alias("click_wins"),
+        F.sum(F.when(F.col("view") > F.col("click"), 1).otherwise(0)).alias("view_wins"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+SQL_HEAD_TO_HEAD = """
+SELECT sum(CASE WHEN c > v THEN 1 ELSE 0 END) AS click_wins,
+       sum(CASE WHEN v > c THEN 1 ELSE 0 END) AS view_wins,
+       count(*) AS n_docs
+FROM (
+  SELECT user_id, avg(value) FILTER (event_type = 'click') AS c,
+         avg(value) FILTER (event_type = 'view') AS v
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY user_id
+) WHERE c IS NOT NULL AND v IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# W5+W6: min-max normalization + weighted decision score
+# (scripts/generate_decision_report.py:70-76,158-200)
+# ---------------------------------------------------------------------------
+
+def q_weighted_score(spark, sf_dir):
+    per_model = (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("avg_value"), F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    w = Window.partitionBy()  # whole-frame min/max (k rows — cheap)
+
+    def norm(c):  # (x - min)/(max - min), 1.0 when constant
+        mn, mx = F.min(c).over(w), F.max(c).over(w)
+        return F.when(mx == mn, F.lit(1.0)).otherwise((c - mn) / (mx - mn))
+
+    scored = per_model.select(
+        "event_type",
+        norm(F.col("avg_value")).alias("s_value_raw"),
+        norm(F.col("n")).alias("s_volume_raw"),
+    )
+    # round only the OUTPUTS — rounding intermediates creates exact-.5
+    # boundary cases where engines' rounding modes diverge
+    return scored.select(
+        "event_type",
+        r4(F.col("s_value_raw")).alias("s_value"),
+        r4(F.col("s_volume_raw")).alias("s_volume"),
+        r4(F.col("s_value_raw") * 0.7 + F.col("s_volume_raw") * 0.3).alias(
+            "weighted_score"
+        ),
+    )
+
+
+SQL_WEIGHTED = """
+WITH per_model AS (
+  SELECT event_type, avg(value) AS avg_value, CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY event_type
+), norm AS (
+  SELECT event_type,
+         CAST(CASE WHEN max(avg_value) OVER () = min(avg_value) OVER () THEN 1.0
+              ELSE (avg_value - min(avg_value) OVER ())
+                   / (max(avg_value) OVER () - min(avg_value) OVER ()) END AS DOUBLE) AS s_value_raw,
+         CAST(CASE WHEN max(n) OVER () = min(n) OVER () THEN 1.0
+              ELSE (n - min(n) OVER ()) / (max(n) OVER () - min(n) OVER ()) END AS DOUBLE) AS s_volume_raw
+  FROM per_model
+)
+SELECT event_type, floor((s_value_raw) * 10000 + 0.5) / 10000 AS s_value, floor((s_volume_raw) * 10000 + 0.5) / 10000 AS s_volume,
+       floor((s_value_raw * CAST(0.7 AS DOUBLE) + s_volume_raw * CAST(0.3 AS DOUBLE)) * 10000 + 0.5) / 10000
+         AS weighted_score
+FROM norm
+"""
+
+
+# ---------------------------------------------------------------------------
+# W7: weighted Borda rank (pages/2_OCR_Benchmark.py:574-590: rank r on a
+# criterion gives (n-1-r)·weight points, summed over criteria)
+# ---------------------------------------------------------------------------
+
+_CRITERIA = [("avg_value", 0.5), ("sum_value", 0.3), ("n_runs", 0.2)]
+
+
+def _per_model_criteria(spark, sf_dir):
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.avg("value").alias("avg_value"),
+            F.sum("value").alias("sum_value"),
+            F.count(F.lit(1)).cast("double").alias("n_runs"),
+        )
+    )
+
+
+def q_borda_rank(spark, sf_dir):
+    per_model = _per_model_criteria(spark, sf_dir)
+    melted = per_model.select(
+        "event_type",
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(c) for c, _ in _CRITERIA]),
+                F.array(*[F.col(c) for c, _ in _CRITERIA]),
+            )
+        ).alias("criterion", "score"),
+    )
+    wts = F.create_map(*[x for c, wt in _CRITERIA for x in (F.lit(c), F.lit(wt))])
+    win = Window.partitionBy("criterion").orderBy(F.desc("score"), F.asc("event_type"))
+    n = Window.partitionBy("criterion")
+    pts = (
+        melted.withColumn("rn", F.row_number().over(win))
+        .withColumn("n_models", F.count(F.lit(1)).over(n))
+        .select(
+            "event_type",
+            ((F.col("n_models") - F.col("rn")) * wts[F.col("criterion")]).alias("pts"),
+        )
+    )
+    return pts.groupBy("event_type").agg(r4(F.sum("pts")).alias("borda_points"))
+
+
+SQL_BORDA = """
+WITH per_model AS (
+  SELECT event_type, avg(value) AS avg_value, sum(value) AS sum_value,
+         CAST(count(*) AS DOUBLE) AS n_runs
+  FROM events GROUP BY event_type
+), melted AS (
+  SELECT event_type, 'avg_value' AS criterion, avg_value AS score,
+         CAST(0.5 AS DOUBLE) AS wt FROM per_model
+  UNION ALL
+  SELECT event_type, 'sum_value', sum_value, CAST(0.3 AS DOUBLE) FROM per_model
+  UNION ALL
+  SELECT event_type, 'n_runs', n_runs, CAST(0.2 AS DOUBLE) FROM per_model
+), ranked AS (
+  SELECT event_type, wt,
+         row_number() OVER (PARTITION BY criterion ORDER BY score DESC, event_type ASC) AS rn,
+         count(*) OVER (PARTITION BY criterion) AS n_models
+  FROM melted
+)
+SELECT event_type, floor((sum((n_models - rn) * wt)) * 10000 + 0.5) / 10000 AS borda_points
+FROM ranked GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# W8: Condorcet wins — every model equal to a criterion's best gets a win
+# (pages/2_OCR_Benchmark.py:592-608)
+# ---------------------------------------------------------------------------
+
+def q_condorcet_wins(spark, sf_dir):
+    per_model = _per_model_criteria(spark, sf_dir)
+    melted = per_model.select(
+        "event_type",
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(c) for c, _ in _CRITERIA]),
+                F.array(*[F.col(c) for c, _ in _CRITERIA]),
+            )
+        ).alias("criterion", "score"),
+    )
+    best = Window.partitionBy("criterion")
+    return (
+        melted.withColumn("best", F.max("score").over(best))
+        .groupBy("event_type")
+        .agg(F.sum(F.when(F.col("score") == F.col("best"), 1).otherwise(0)).alias("wins"))
+    )
+
+
+SQL_CONDORCET = """
+WITH per_model AS (
+  SELECT event_type, avg(value) AS avg_value, sum(value) AS sum_value,
+         CAST(count(*) AS DOUBLE) AS n_runs
+  FROM events GROUP BY event_type
+), melted AS (
+  SELECT event_type, 'avg_value' AS criterion, avg_value AS score FROM per_model
+  UNION ALL SELECT event_type, 'sum_value', sum_value FROM per_model
+  UNION ALL SELECT event_type, 'n_runs', n_runs FROM per_model
+), with_best AS (
+  SELECT event_type, score, max(score) OVER (PARTITION BY criterion) AS best FROM melted
+)
+SELECT event_type, sum(CASE WHEN score = best THEN 1 ELSE 0 END) AS wins
+FROM with_best GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-style pricing summary on lineitem (partial-agg friendly:
+# map-side combine then final — one shuffle of 4-6 groups)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            r4(F.sum("l_quantity")).alias("sum_qty"),
+            r4(F.sum("l_extendedprice")).alias("sum_base_price"),
+            r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+            r4(F.avg("l_quantity")).alias("avg_qty"),
+            r4(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       floor((sum(l_quantity)) * 10000 + 0.5) / 10000 AS sum_qty,
+       floor((sum(l_extendedprice)) * 10000 + 0.5) / 10000 AS sum_base_price,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS sum_disc_price,
+       floor((avg(l_quantity)) * 10000 + 0.5) / 10000 AS avg_qty,
+       floor((avg(l_discount)) * 10000 + 0.5) / 10000 AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# J1 analog: fact ⋈ broadcast dims (catalog join) — revenue per nation
+# ---------------------------------------------------------------------------
+
+def q_revenue_per_nation(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            r4(F.sum("o_totalprice")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+SQL_REVENUE_NATION = """
+SELECT n_name, floor((sum(o_totalprice)) * 10000 + 0.5) / 10000 AS revenue, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# J3 analog: anti-join skip accounting — customers with no orders, by nation
+# ---------------------------------------------------------------------------
+
+def q_customers_without_orders(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    no_orders = customer.join(
+        orders.select("o_custkey"), customer.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return (
+        no_orders.join(F.broadcast(nation), no_orders.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_skipped"))
+    )
+
+
+SQL_NO_ORDERS = """
+SELECT n_name, count(*) AS n_skipped
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY n_name
+"""
+
+
+QUERIES = {
+    "agg_per_model_summary": q_per_model_summary,
+    "agg_error_mask": q_error_mask_agg,
+    "agg_two_key_means": q_two_key_means,
+    "agg_success_rate": q_success_rate,
+    "agg_runs_per_doc": q_runs_per_doc,
+    "agg_error_categories": q_error_categories,
+    "win_latest_snapshot": q_latest_snapshot,
+    "win_top1_per_model": q_top1_per_model,
+    "win_pivot_delta": q_pivot_delta,
+    "win_head_to_head": q_head_to_head,
+    "rank_weighted_score": q_weighted_score,
+    "rank_borda": q_borda_rank,
+    "rank_condorcet": q_condorcet_wins,
+    "tpch_pricing_summary": q_pricing_summary,
+    "join_revenue_per_nation": q_revenue_per_nation,
+    "join_customers_without_orders": q_customers_without_orders,
+}
+
+ORACLES = {
+    "agg_per_model_summary": SQL_PER_MODEL,
+    "agg_error_mask": SQL_ERROR_MASK,
+    "agg_two_key_means": SQL_TWO_KEY,
+    "agg_success_rate": SQL_SUCCESS_RATE,
+    "agg_runs_per_doc": SQL_RUNS_PER_DOC,
+    "agg_error_categories": SQL_ERROR_CATS,
+    "win_latest_snapshot": SQL_LATEST_SNAPSHOT,
+    "win_top1_per_model": SQL_TOP1,
+    "win_pivot_delta": SQL_PIVOT_DELTA,
+    "win_head_to_head": SQL_HEAD_TO_HEAD,
+    "rank_weighted_score": SQL_WEIGHTED,
+    "rank_borda": SQL_BORDA,
+    "rank_condorcet": SQL_CONDORCET,
+    "tpch_pricing_summary": SQL_PRICING,
+    "join_revenue_per_nation": SQL_REVENUE_NATION,
+    "join_customers_without_orders": SQL_NO_ORDERS,
+}

@@ -1,0 +1,359 @@
+"""Deduplication operators for the training-data pipeline layer:
+exact (hash-groupBy), n-gram Jaccard, MinHash+LSH (shingle -> minhash ->
+band -> bucket-join), SimHash, embedding-cosine near-dup.
+
+Scale design: every variant is a candidate-generation step whose join key
+(content hash / shingle / LSH band / IVF cell) bounds the pair space —
+never an all-pairs crossJoin on the full table. At 10^12 docs the
+shingle/band explode shuffles by key and AQE splits hot shingles; the
+verify step touches only candidate pairs. All pure Catalyst with DuckDB
+oracles (the engine-portable 28-bit md5 hash from functions/text keeps
+signatures identical across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    SQL_NORM_TOKENS,
+    SQL_SHINGLE_HASH32,
+    norm_tokens,
+    r4,
+    shingle_hash32,
+    word_ngrams,
+)
+
+# universal-hash parameters for the MinHash permutations: h_i = (a*h+b) % p
+MINHASH_PERMS = [(131, 7), (241, 107), (389, 211), (521, 331), (769, 401), (911, 503), (1091, 613), (1301, 719)]
+MINHASH_P = 2147483647
+LSH_ROWS_PER_BAND = 2  # 8 perms -> 4 bands
+JACCARD_THRESHOLD = 0.5
+NGRAM_N = 3
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _sql_tokens(col: str = "text") -> str:
+    return SQL_NORM_TOKENS.format(col=col)
+
+
+def _sql_shingles() -> str:
+    """DuckDB: distinct word-3-gram shingles of the normalized tokens."""
+    return (
+        "list_distinct(list_transform(range(0, greatest(len(t) - 2, 0)), "
+        "i -> array_to_string(t[i+1:i+3], ' ')))"
+    )
+
+
+def _shingles(tokens):
+    return F.array_distinct(word_ngrams(tokens, NGRAM_N))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup: hash-groupBy on content (one shuffle of (hash) keys; at
+# scale the md5 is computed scan-side so only 16-byte keys move)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup: explode distinct shingles -> self-join on
+# shingle -> per-pair intersection count -> Jaccard >= threshold
+# ---------------------------------------------------------------------------
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    sh = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(_shingles(norm_tokens("text"))).alias("s"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            r4(
+                F.col("inter").cast("double")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("inter"))).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH toks AS (SELECT doc_id, {_sql_tokens()} AS t FROM documents),
+sh AS (SELECT doc_id, unnest({_sql_shingles()}) AS s FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       floor((CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)) * 10000 + 0.5) / 10000 AS jaccard
+FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures: min over shingle hashes of (a*h+b) mod p, 8 perms.
+# Engine-portable because the base hash is md5-derived (functions/text).
+# ---------------------------------------------------------------------------
+
+def _perm(a: int, b: int):
+    # closure factory: Spark HOF lambdas must take exactly one parameter
+    return lambda h: (h * a + b) % MINHASH_P
+
+
+def _minhash_cols(shingle_hashes):
+    return [
+        F.array_min(F.transform(shingle_hashes, _perm(a, b))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+
+
+def q_minhash_signature(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.transform(_shingles(norm_tokens("text")), lambda s: shingle_hash32(s)).alias("hs"),
+    ).filter(F.size("hs") > 0)
+    return docs.select("doc_id", *_minhash_cols(F.col("hs")))
+
+
+def _sql_minhash_exprs() -> str:
+    h = SQL_SHINGLE_HASH32.format(s="s")
+    return ",\n       ".join(
+        f"list_min(list_transform(sh, s -> ({h} * {a} + {b}) % {MINHASH_P})) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    )
+
+
+SQL_MINHASH_SIG = f"""
+WITH toks AS (SELECT doc_id, {_sql_tokens()} AS t FROM documents),
+shl AS (SELECT doc_id, {_sql_shingles()} AS sh FROM toks)
+SELECT doc_id,
+       {_sql_minhash_exprs()}
+FROM shl WHERE len(sh) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash LSH candidate pairs: band signatures (4 bands x 2 rows) ->
+# bucket-join on (band_id, band_key) -> distinct pairs -> verified Jaccard
+# ---------------------------------------------------------------------------
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    sig = q_minhash_signature(spark, sf_dir)
+    n_bands = len(MINHASH_PERMS) // LSH_ROWS_PER_BAND
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_id"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"mh{bi * LSH_ROWS_PER_BAND + r}")
+                                for r in range(LSH_ROWS_PER_BAND)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # verify candidates with exact shingle Jaccard (only candidate pairs pay)
+    sh = _docs(spark, sf_dir).select(
+        "doc_id", _shingles(norm_tokens("text")).alias("sh")
+    )
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            r4(
+                F.size(F.array_intersect("sa.sh", "sb.sh")).cast("double")
+                / F.size(F.array_union("sa.sh", "sb.sh"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def _sql_band_rows() -> str:
+    n_bands = len(MINHASH_PERMS) // LSH_ROWS_PER_BAND
+    rows = []
+    for bi in range(n_bands):
+        keys = " || '_' || ".join(
+            f"CAST(mh{bi * LSH_ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(LSH_ROWS_PER_BAND)
+        )
+        rows.append(f"SELECT doc_id, {bi} AS band_id, {keys} AS band_key FROM sig")
+    return "\nUNION ALL\n".join(rows)
+
+
+SQL_MINHASH_LSH = f"""
+WITH toks AS (SELECT doc_id, {_sql_tokens()} AS t FROM documents),
+shl AS (SELECT doc_id, {_sql_shingles()} AS sh FROM toks),
+sig AS (
+  SELECT doc_id, {_sql_minhash_exprs().replace('sh,', 'sh,')}
+  FROM shl WHERE len(sh) > 0
+),
+bands AS ({_sql_band_rows()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT doc_a, doc_b,
+         floor((CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa.sh, sb.sh)))) * 10000 + 0.5) / 10000 AS jaccard
+  FROM cand JOIN shl sa ON doc_a = sa.doc_id JOIN shl sb ON doc_b = sb.doc_id
+)
+SELECT * FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 28-bit signature, bit i set when the majority of token hashes
+# have bit i set (token multiset; ties -> 0)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 28
+
+
+def q_simhash(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.transform(norm_tokens("text"), lambda t: shingle_hash32(t)).alias("hs"),
+    )
+    # shiftright/shiftleft need expression-form SQL to take a lambda var
+    # as the shift amount, so the bit loop is one expr string
+    simhash = F.expr(
+        f"""aggregate(
+              transform(sequence(0, {SIMHASH_BITS - 1}), i ->
+                CASE WHEN size(filter(hs, h -> (shiftright(h, i) & 1) = 1)) * 2 > size(hs)
+                     THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END),
+              CAST(0 AS BIGINT), (acc, v) -> acc + v)"""
+    )
+    return docs.filter(F.size("hs") > 0).select("doc_id", simhash.alias("simhash"))
+
+
+_H = SQL_SHINGLE_HASH32.format(s="t")
+SQL_SIMHASH = f"""
+WITH toks AS (SELECT doc_id, {_sql_tokens()} AS t FROM documents),
+hs AS (SELECT doc_id, list_transform(t, t -> {_H}) AS hs FROM toks WHERE len(t) > 0)
+SELECT doc_id,
+       list_sum(list_transform(range(0, {SIMHASH_BITS}), i ->
+         CASE WHEN len(list_filter(hs, h -> (h >> i) & 1 = 1)) * 2 > len(hs)
+              THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS simhash
+FROM hs
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup pairs (cosine >= 0.4 over all pairs; at scale
+# this is the IVF/LSH-bucketed path in similarity.py — here the exact op)
+# ---------------------------------------------------------------------------
+
+COSINE_DUP_THRESHOLD = 0.4
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_expr(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def q_embedding_dup_pairs(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            r4(cosine_expr(F.col("a.embedding"), F.col("b.embedding"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )
+
+
+SQL_EMBEDDING_DUP = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       floor((list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) * 10000 + 0.5) / 10000 AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE floor((list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) * 10000 + 0.5) / 10000
+      >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_signature": q_minhash_signature,
+    "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "dedup_simhash": q_simhash,
+    "dedup_embedding_pairs": q_embedding_dup_pairs,
+}
+
+ORACLES = {
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
+    "dedup_minhash_signature": SQL_MINHASH_SIG,
+    "dedup_minhash_lsh_pairs": SQL_MINHASH_LSH,
+    "dedup_simhash": SQL_SIMHASH,
+    "dedup_embedding_pairs": SQL_EMBEDDING_DUP,
+}

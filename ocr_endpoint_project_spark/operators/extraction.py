@@ -1,0 +1,175 @@
+"""Kernel-exercising operators, still oracle-checked: these run the real
+Arrow kernels (extraction, structured parse, JSON recovery, metrics) over
+pages synthesized IN CATALYST from the driver's ``documents`` table, with
+DuckDB oracles that predict the kernels' output from the construction.
+
+This is the end-to-end correctness gate for the extraction engine itself
+(not just the relational layer): if the HTML extractor, the sections
+segmenter or the JSON recovery drift by one byte, these hash-mismatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.kernels import (
+    json_recover_udf,
+    parse_sections,
+    section_record_udf,
+    token_wer_udf,
+    word_metrics_udf,
+)
+from ..functions.text import r4
+from ..pipeline.extract import run_extraction
+from ..sources.pages import pages_from_documents
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship: full pipeline round-trip — byte identity per url
+# ---------------------------------------------------------------------------
+
+def q_extract_roundtrip(spark, sf_dir):
+    pages = pages_from_documents(spark, sf_dir)
+    extracted = run_extraction(pages, num_partitions=16)
+    golden = pages.select("url", F.col("text").alias("golden_text"))
+    return extracted.join(golden, "url").select(
+        "url",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("n_pages").cast("bigint").alias("n_pages"),
+        "doc_kind",
+        "status",
+        (F.col("extracted_text") == F.col("golden_text")).alias("byte_identical"),
+    )
+
+
+SQL_EXTRACT_ROUNDTRIP = """
+SELECT 'https://' || source || '.example/doc/' || doc_id AS url,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(1 AS BIGINT) AS n_pages,
+       'html' AS doc_kind,
+       'succeeded' AS status,
+       TRUE AS byte_identical
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# structured parse (E9 segmenter + from_json): resume-grammar text built
+# in Catalyst; the oracle predicts the parsed record fields exactly
+# ---------------------------------------------------------------------------
+
+def q_sections_parse(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("NAME: Doc "),
+            F.col("doc_id"),
+            F.lit("\nLOCATION: "),
+            F.col("source"),
+            F.lit("\nABOUT\n"),
+            F.col("text"),
+        ).alias("resume_text"),
+    )
+    parsed = parse_sections(docs, text_col="resume_text", out_col="record")
+    return parsed.select(
+        "doc_id",
+        F.col("record.name").alias("name"),
+        F.col("record.location").alias("location"),
+        F.col("record.about").alias("about"),
+        F.col("record").isNotNull().alias("json_valid"),
+    )
+
+
+SQL_SECTIONS_PARSE = """
+SELECT doc_id, 'Doc ' || doc_id AS name, source AS location, text AS about,
+       TRUE AS json_valid
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# tolerant JSON recovery (E10) + from_json projection (E11): fenced JSON
+# embedded in prose, recovered and parsed; oracle predicts the fields
+# ---------------------------------------------------------------------------
+
+def q_json_recovery(spark, sf_dir):
+    raw = F.concat(
+        F.lit('Model output follows.\n```json\n{"id": '),
+        F.col("doc_id"),
+        F.lit(', "doc_lang": "'),
+        F.col("lang"),
+        F.lit('", "extra_unknown_key": 1}\n```\nthanks'),
+    )
+    schema = "id BIGINT, doc_lang STRING"
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", json_recover_udf(raw).alias("recovered"))
+        .select(
+            "doc_id",
+            F.from_json("recovered", schema).alias("rec"),
+        )
+        .select(
+            "doc_id",
+            F.col("rec.id").alias("id"),
+            F.col("rec.doc_lang").alias("doc_lang"),
+            F.col("rec").isNotNull().alias("recovered_ok"),
+        )
+    )
+
+
+SQL_JSON_RECOVERY = """
+SELECT doc_id, doc_id AS id, lang AS doc_lang, TRUE AS recovered_ok
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# WER / word-metrics kernel (M4/M6) — token-level DP, genuinely not
+# SQL-expressible (no token-level edit distance in DuckDB): rows-only.
+# Python-vs-Python parity is covered in tests/test_text_metrics.py.
+# ---------------------------------------------------------------------------
+
+def q_word_metrics_kernel(spark, sf_dir):
+    pred = F.regexp_replace(F.col("text"), "batch", "match")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").alias("gt"), pred.alias("pred")
+    )
+    m = docs.select(
+        "doc_id", word_metrics_udf(F.col("gt"), F.col("pred")).alias("m")
+    )
+    return m.select(
+        "doc_id",
+        r4(F.col("m.accuracy_pct")).alias("accuracy_pct"),
+        F.col("m.total_gt_words").cast("bigint").alias("total_gt_words"),
+        r4(F.col("m.wer_pct")).alias("wer_pct"),
+        r4(F.col("m.cer_pct")).alias("cer_pct"),
+        F.size("m.missing_words").cast("bigint").alias("n_missing"),
+    )
+
+
+def q_token_wer(spark, sf_dir):
+    pred = F.regexp_replace(F.col("text"), "batch", "match")
+    return _docs(spark, sf_dir).select(
+        "doc_id", r4(token_wer_udf(F.col("text"), pred)).alias("wer_pct")
+    )
+
+
+QUERIES = {
+    "extract_roundtrip": q_extract_roundtrip,
+    "sections_parse": q_sections_parse,
+    "json_recovery": q_json_recovery,
+    "word_metrics_kernel": q_word_metrics_kernel,
+    "token_wer_kernel": q_token_wer,
+}
+
+ORACLES = {
+    "extract_roundtrip": SQL_EXTRACT_ROUNDTRIP,
+    "sections_parse": SQL_SECTIONS_PARSE,
+    "json_recovery": SQL_JSON_RECOVERY,
+    # word_metrics_kernel / token_wer_kernel: token-level edit distance is
+    # not SQL-expressible -> rows-only checks (documented driver contract)
+}

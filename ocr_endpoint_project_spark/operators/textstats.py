@@ -1,0 +1,233 @@
+"""Text-analysis operators over the ``documents`` table (SURVEY.md §2.3 +
+the training-data-pipeline text layer): token stats, quality scoring,
+language-ID, fingerprinting, CER — all pure Catalyst (codegen'd, no
+Python), each with a DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    SQL_CER,
+    SQL_NORM_TOKENS,
+    cer_expr,
+    norm_tokens,
+    r4,
+    stopword_hits,
+    token_count,
+)
+
+# modest per-language stopword lists for the language-ID vote
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "in", "to", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu"],
+    "es": ["el", "la", "de", "y", "es", "un", "en"],
+    "fr": ["le", "la", "de", "et", "est", "un", "dans"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我"],
+}
+LANGS = sorted(STOPWORDS)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _sql_tokens(col: str = "text") -> str:
+    return SQL_NORM_TOKENS.format(col=col)
+
+
+# ---------------------------------------------------------------------------
+# token stats (token counting op of the training-data layer)
+# ---------------------------------------------------------------------------
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = norm_tokens("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count("text").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+        r4(
+            F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)).cast(
+                "double"
+            )
+            / F.greatest(F.size(toks), F.lit(1))).alias("avg_token_len"),
+    )
+
+
+SQL_TOKEN_STATS = f"""
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+       floor((CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+             / greatest(len(toks), 1)) * 10000 + 0.5) / 10000 AS avg_token_len
+FROM (SELECT doc_id, {_sql_tokens()} AS toks FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality scoring (length / stopword-ratio / token-shape heuristics)
+# ---------------------------------------------------------------------------
+
+_QUALITY_STOPS = STOPWORDS["en"]
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = norm_tokens("text")
+    n = F.size(toks).cast("double")
+    stop_ratio = stopword_hits(toks, _QUALITY_STOPS).cast("double") / F.greatest(
+        F.size(toks), F.lit(1)
+    )
+    avg_len = F.aggregate(toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)).cast(
+        "double"
+    ) / F.greatest(F.size(toks), F.lit(1))
+    score = (
+        F.least(n, F.lit(100.0)) / 100.0 * 0.4
+        + (1.0 - F.least(F.abs(avg_len - 5.0) / 10.0, F.lit(1.0))) * 0.3
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.col("lang"), r4(score).alias("quality_score")
+    )
+
+
+_SQL_STOPS = ", ".join(f"'{s}'" for s in _QUALITY_STOPS)
+SQL_QUALITY_SCORE = f"""
+SELECT doc_id, lang,
+       floor((least(CAST(len(toks) AS DOUBLE), 100.0) / 100.0 * 0.4
+             + (1.0 - least(abs(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                                / greatest(len(toks), 1) - 5.0) / 10.0, 1.0)) * 0.3
+             + least(CAST(len(list_filter(toks, t -> t IN ({_SQL_STOPS}))) AS DOUBLE)
+                     / greatest(len(toks), 1) * 5.0, 1.0) * 0.3) * 10000 + 0.5) / 10000 AS quality_score
+FROM (SELECT doc_id, lang, {_sql_tokens()} AS toks FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# language-ID (stopword vote, deterministic tie-break by language code)
+# ---------------------------------------------------------------------------
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir).select("doc_id", "lang", norm_tokens("text").alias("toks"))
+    for lg in LANGS:
+        df = df.withColumn(f"score_{lg}", stopword_hits(F.col("toks"), STOPWORDS[lg]))
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in LANGS])
+    pred = F.lit("und")
+    # first language (alphabetical) achieving the max score wins
+    for lg in reversed(LANGS):
+        pred = F.when(F.col(f"score_{lg}") == best, F.lit(lg)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return df.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        best.cast("bigint").alias("vote_score"),
+    )
+
+
+def _sql_lang_votes() -> str:
+    cols = ",\n       ".join(
+        "CAST(len(list_filter(toks, t -> t IN ({lst}))) AS BIGINT) AS score_{lg}".format(
+            lst=", ".join(f"'{s}'" for s in STOPWORDS[lg]), lg=lg
+        )
+        for lg in LANGS
+    )
+    return cols
+
+
+_case = "CASE WHEN best = 0 THEN 'und' " + " ".join(
+    f"WHEN score_{lg} = best THEN '{lg}'" for lg in LANGS
+) + " ELSE 'und' END"
+SQL_LANG_ID = f"""
+SELECT doc_id, lang, {_case} AS pred_lang, best AS vote_score
+FROM (
+  SELECT doc_id, lang, greatest({", ".join("score_" + lg for lg in LANGS)}) AS best,
+         {", ".join("score_" + lg for lg in LANGS)}
+  FROM (
+    SELECT doc_id, lang, {_sql_lang_votes()}
+    FROM (SELECT doc_id, lang, {_sql_tokens()} AS toks FROM documents)
+  )
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (md5 over normalized token stream)
+# ---------------------------------------------------------------------------
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.md5(F.concat_ws(" ", norm_tokens("text"))).alias("fingerprint")
+    )
+
+
+SQL_FINGERPRINT = f"""
+SELECT doc_id, md5(array_to_string({_sql_tokens()}, ' ')) AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# CER as pure Catalyst (M3) — prediction simulated by a deterministic
+# perturbation so the metric is exercised end-to-end in both engines
+# ---------------------------------------------------------------------------
+
+def q_cer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = F.regexp_replace(F.col("text"), "e", "a")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        r4(cer_expr(F.col("text"), pred)).alias("cer_pct"),
+    )
+
+
+SQL_CER_Q = (
+    "SELECT doc_id, floor(("
+    + SQL_CER.format(gt="text", pred="regexp_replace(text, 'e', 'a', 'g')")
+    + ") * 10000 + 0.5) / 10000 AS cer_pct FROM documents"
+)
+
+
+# ---------------------------------------------------------------------------
+# grouped metric rollup (A3 analog over documents: per-lang averages)
+# ---------------------------------------------------------------------------
+
+def q_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = F.regexp_replace(F.col("text"), "e", "a")
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", cer_expr(F.col("text"), pred).alias("cer"), token_count("text").alias("nt"))
+        .groupBy("lang")
+        .agg(
+            r4(F.avg("cer")).alias("avg_cer_pct"),
+            r4(F.avg("nt")).alias("avg_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+    )
+
+
+SQL_LANG_ROLLUP = (
+    "SELECT lang, floor((avg("
+    + SQL_CER.format(gt="text", pred="regexp_replace(text, 'e', 'a', 'g')")
+    + ")) * 10000 + 0.5) / 10000 AS avg_cer_pct, floor((avg(len("
+    + _sql_tokens()
+    + "))) * 10000 + 0.5) / 10000 AS avg_tokens, count(*) AS n_docs FROM documents GROUP BY lang"
+)
+
+
+QUERIES = {
+    "text_token_stats": q_token_stats,
+    "text_quality_score": q_quality_score,
+    "text_lang_id": q_lang_id,
+    "text_fingerprint": q_fingerprint,
+    "metric_cer": q_cer,
+    "metric_lang_rollup": q_lang_rollup,
+}
+
+ORACLES = {
+    "text_token_stats": SQL_TOKEN_STATS,
+    "text_quality_score": SQL_QUALITY_SCORE,
+    "text_lang_id": SQL_LANG_ID,
+    "text_fingerprint": SQL_FINGERPRINT,
+    "metric_cer": SQL_CER_Q,
+    "metric_lang_rollup": SQL_LANG_ROLLUP,
+}

@@ -1,0 +1,93 @@
+"""Local stand-in for the driver's correctness gate: run each queries()
+entry on Spark and its oracle_sql() on DuckDB at sf0.01, compare
+row-count, schema (column names), and order-insensitive values.
+
+Usage: python tools/check_oracles.py [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.4f}"
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+
+
+def check(only: list[str], sf_dir: str = SF_DIR, spark=None) -> list[str]:
+    """Run the driver-style compare; returns the list of failed names."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from ocr_endpoint_project_spark.session import build_session
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    own_spark = spark is None
+    if own_spark:
+        spark = build_session(app_name="oracle-check", master="local[8]", shuffle_partitions=8)
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = only or list(queries)
+    failed = []
+    for name in names:
+        try:
+            sdf = queries[name](spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+            if name not in oracles:
+                print(f"  {name}: rows-only ({len(s_rows)} rows) — no oracle")
+                continue
+            rel = con.sql(oracles[name])
+            d_cols = rel.columns
+            d_rows = rel.fetchall()
+            ok_cols = sorted(s_cols) == sorted(d_cols)
+            ok_count = len(s_rows) == len(d_rows)
+            ok_vals = ok_cols and ok_count and norm_rows(s_cols, s_rows) == norm_rows(d_cols, d_rows)
+            status = "OK" if (ok_cols and ok_count and ok_vals) else "FAIL"
+            print(
+                f"  {name}: {status} spark={len(s_rows)} duck={len(d_rows)} "
+                f"cols={'=' if ok_cols else f'{sorted(s_cols)} vs {sorted(d_cols)}'}"
+            )
+            if status == "FAIL":
+                failed.append(name)
+                if ok_cols and ok_count:
+                    a = norm_rows(s_cols, s_rows)
+                    b = norm_rows(d_cols, d_rows)
+                    diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                    for x, y in diffs:
+                        print(f"    spark: {x}\n    duck : {y}")
+        except Exception as e:  # noqa: BLE001
+            failed.append(name)
+            print(f"  {name}: ERROR {type(e).__name__}: {str(e)[:300]}")
+    if own_spark:
+        spark.stop()
+    print(f"{len(names) - len(failed)}/{len(names)} OK; failed: {failed}")
+    return failed
+
+
+if __name__ == "__main__":
+    raise SystemExit(1 if check(sys.argv[1:]) else 0)
