@@ -43,18 +43,33 @@ def edit_distance(ref: list | str, hyp: list | str) -> int:
         return h_len
     if h_len == 0:
         return r_len
-    hyp_arr = np.asarray(hyp if not isinstance(hyp, str) else list(hyp), dtype=object)
+    # map both sequences to native integer codes so the inner compare is a
+    # C-speed int comparison (object-dtype string compares are ~20x slower
+    # and unreliable for strings containing NUL bytes)
+    if isinstance(ref, str) and isinstance(hyp, str):
+        ref_c = np.frombuffer(ref.encode("utf-32-le"), dtype=np.uint32)
+        hyp_c = np.frombuffer(hyp.encode("utf-32-le"), dtype=np.uint32)
+    else:
+        vocab: dict = {}
+        ref_c = np.fromiter(
+            (vocab.setdefault(t, len(vocab)) for t in ref), dtype=np.int64, count=r_len
+        )
+        hyp_c = np.fromiter(
+            (vocab.setdefault(t, len(vocab)) for t in hyp), dtype=np.int64, count=h_len
+        )
     idx = np.arange(1, h_len + 1, dtype=np.int64)
-    prev = np.arange(h_len + 1, dtype=np.int64)
-    tok = np.empty((), dtype=object)  # 0-d holder: scalar-vs-array compare is
-    for i in range(1, r_len + 1):     # unreliable for strings with NUL bytes
-        tok[()] = ref[i - 1]
-        cost = (hyp_arr != tok).astype(np.int64)
+    full = np.arange(h_len + 1, dtype=np.int64)
+    prev = full.copy()
+    buf = np.empty(h_len + 1, dtype=np.int64)
+    for i in range(1, r_len + 1):
+        cost = (hyp_c != ref_c[i - 1]).astype(np.int64)
         best = np.minimum(prev[:-1] + cost, prev[1:] + 1)  # substitute / delete
         # insertion recurrence cur[j] = min(best[j-1], cur[j-1]+1) is a
         # prefix-min in (cur[j] - j) space — no inner Python loop
-        shifted = np.minimum.accumulate(np.concatenate(([np.int64(i)], best - idx)))
-        prev = shifted + np.arange(h_len + 1, dtype=np.int64)
+        buf[0] = i
+        np.subtract(best, idx, out=buf[1:])
+        np.minimum.accumulate(buf, out=buf)
+        prev = buf + full
     return int(prev[h_len])
 
 

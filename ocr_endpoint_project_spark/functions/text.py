@@ -92,3 +92,19 @@ def r4(c: Column) -> Column:
 def sql_r4(x: str) -> str:
     """DuckDB twin of :func:`r4`."""
     return f"floor(({x}) * 10000 + 0.5) / 10000"
+
+
+# Exact-sum discipline: a float aggregate over "nice decimal" inputs (2-dp
+# money/metric values) lands exactly on rounding boundaries, where the two
+# engines' different summation orders flip the last digit. Summing
+# INTEGER-VALUED doubles is exact in any order (every partial sum is an
+# integer < 2^53), so aggregates become order-independent and engine-equal:
+# sum(cents(x)) / 100, or avg = sum(cents(x)) / (100 * count).
+
+def cents(c: Column, scale: int = 100) -> Column:
+    """x -> integer-valued double floor(x*scale + 0.5) (same in DuckDB)."""
+    return F.floor(c * F.lit(float(scale)) + F.lit(0.5))
+
+
+def sql_cents(x: str, scale: int = 100) -> str:
+    return f"floor(({x}) * {scale} + 0.5)"

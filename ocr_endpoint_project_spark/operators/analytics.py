@@ -15,11 +15,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import r4
+from ._io import read_spread
+from ..functions.text import cents, r4
+
+
+def _sum_cents(col="value"):
+    # exact-sum discipline (functions/text.py): integer-valued terms make
+    # the aggregate order-independent, hence identical across engines
+    return F.sum(cents(F.col(col)))
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return read_spread(spark, f"{sf_dir}/events.parquet")
 
 
 # ---------------------------------------------------------------------------
@@ -31,18 +38,23 @@ def q_per_model_summary(spark, sf_dir):
     return (
         _events(spark, sf_dir)
         .groupBy("event_type")
-        .agg(
-            r4(F.avg("value")).alias("avg_value"),
-            r4(F.sum("value")).alias("sum_value"),
-            F.count(F.lit(1)).alias("n_runs"),
+        .agg(_sum_cents().alias("sc"), F.count(F.lit(1)).alias("n_runs"))
+        .select(
+            "event_type",
+            r4(F.col("sc") / (100.0 * F.col("n_runs"))).alias("avg_value"),
+            r4(F.col("sc") / 100.0).alias("sum_value"),
+            "n_runs",
         )
     )
 
 
 SQL_PER_MODEL = """
-SELECT event_type, floor((avg(value)) * 10000 + 0.5) / 10000 AS avg_value,
-       floor((sum(value)) * 10000 + 0.5) / 10000 AS sum_value, count(*) AS n_runs
-FROM events GROUP BY event_type
+SELECT event_type,
+       floor((sc / (100.0 * n_runs)) * 10000 + 0.5) / 10000 AS avg_value,
+       floor((sc / 100.0) * 10000 + 0.5) / 10000 AS sum_value,
+       n_runs
+FROM (SELECT event_type, sum(floor(value * 100 + 0.5)) AS sc, count(*) AS n_runs
+      FROM events GROUP BY event_type)
 """
 
 
@@ -56,16 +68,19 @@ def q_error_mask_agg(spark, sf_dir):
         _events(spark, sf_dir)
         .filter(F.col("event_type") != "error")
         .groupBy("user_id")
-        .agg(
-            r4(F.avg("value")).alias("avg_value"),
-            F.count(F.lit(1)).alias("n_ok_runs"),
+        .agg(_sum_cents().alias("sc"), F.count(F.lit(1)).alias("n_ok_runs"))
+        .select(
+            "user_id",
+            r4(F.col("sc") / (100.0 * F.col("n_ok_runs"))).alias("avg_value"),
+            "n_ok_runs",
         )
     )
 
 
 SQL_ERROR_MASK = """
-SELECT user_id, floor((avg(value)) * 10000 + 0.5) / 10000 AS avg_value, count(*) AS n_ok_runs
-FROM events WHERE event_type != 'error' GROUP BY user_id
+SELECT user_id, floor((sc / (100.0 * n_ok_runs)) * 10000 + 0.5) / 10000 AS avg_value, n_ok_runs
+FROM (SELECT user_id, sum(floor(value * 100 + 0.5)) AS sc, count(*) AS n_ok_runs
+      FROM events WHERE event_type != 'error' GROUP BY user_id)
 """
 
 
@@ -78,13 +93,20 @@ def q_two_key_means(spark, sf_dir):
     return (
         _events(spark, sf_dir)
         .groupBy((F.col("user_id") % 10).alias("user_bucket"), F.col("event_type"))
-        .agg(r4(F.avg("value")).alias("avg_value"))
+        .agg(_sum_cents().alias("sc"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_bucket",
+            "event_type",
+            r4(F.col("sc") / (100.0 * F.col("n"))).alias("avg_value"),
+        )
     )
 
 
 SQL_TWO_KEY = """
-SELECT user_id % 10 AS user_bucket, event_type, floor((avg(value)) * 10000 + 0.5) / 10000 AS avg_value
-FROM events GROUP BY 1, 2
+SELECT user_bucket, event_type, floor((sc / (100.0 * n)) * 10000 + 0.5) / 10000 AS avg_value
+FROM (SELECT user_id % 10 AS user_bucket, event_type,
+             sum(floor(value * 100 + 0.5)) AS sc, count(*) AS n
+      FROM events GROUP BY 1, 2)
 """
 
 
@@ -233,23 +255,34 @@ def q_pivot_delta(spark, sf_dir):
         .filter(F.col("event_type").isin("click", "view"))
         .groupBy("user_id")
         .pivot("event_type", ["click", "view"])
-        .agg(F.avg("value"))
+        .agg(
+            F.sum(cents(F.col("value"))).alias("sc"),
+            F.count(F.lit(1)).alias("n"),
+        )
     )
+    click = F.col("click_sc") / (100.0 * F.col("click_n"))
+    view = F.col("view_sc") / (100.0 * F.col("view_n"))
     return pv.select(
         "user_id",
-        r4(F.col("click")).alias("click_avg"),
-        r4(F.col("view")).alias("view_avg"),
-        r4(F.col("click") - F.col("view")).alias("delta"),
+        r4(click).alias("click_avg"),
+        r4(view).alias("view_avg"),
+        r4(click - view).alias("delta"),
     )
 
 
 SQL_PIVOT_DELTA = """
 SELECT user_id,
-       floor((avg(value) FILTER (event_type = 'click')) * 10000 + 0.5) / 10000 AS click_avg,
-       floor((avg(value) FILTER (event_type = 'view')) * 10000 + 0.5) / 10000 AS view_avg,
-       floor((avg(value) FILTER (event_type = 'click')
-             - avg(value) FILTER (event_type = 'view')) * 10000 + 0.5) / 10000 AS delta
-FROM events WHERE event_type IN ('click', 'view') GROUP BY user_id
+       floor((csc / (100.0 * cn)) * 10000 + 0.5) / 10000 AS click_avg,
+       floor((vsc / (100.0 * vn)) * 10000 + 0.5) / 10000 AS view_avg,
+       floor((csc / (100.0 * cn) - vsc / (100.0 * vn)) * 10000 + 0.5) / 10000 AS delta
+FROM (
+  SELECT user_id,
+         sum(floor(value * 100 + 0.5)) FILTER (event_type = 'click') AS csc,
+         count(*) FILTER (event_type = 'click') AS cn,
+         sum(floor(value * 100 + 0.5)) FILTER (event_type = 'view') AS vsc,
+         count(*) FILTER (event_type = 'view') AS vn
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY user_id
+)
 """
 
 
@@ -259,25 +292,35 @@ def q_head_to_head(spark, sf_dir):
         .filter(F.col("event_type").isin("click", "view"))
         .groupBy("user_id")
         .pivot("event_type", ["click", "view"])
-        .agg(F.avg("value"))
-        .filter(F.col("click").isNotNull() & F.col("view").isNotNull())
+        .agg(
+            F.sum(cents(F.col("value")).cast("long")).alias("sc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("click_sc").isNotNull() & F.col("view_sc").isNotNull())
     )
+    # compare averages by integer cross-multiplication: csc/cn > vsc/vn
+    # <=> csc*vn > vsc*cn — exact in int64, engine-independent
+    c_gt = F.col("click_sc") * F.col("view_n") > F.col("view_sc") * F.col("click_n")
+    v_gt = F.col("view_sc") * F.col("click_n") > F.col("click_sc") * F.col("view_n")
     return pv.agg(
-        F.sum(F.when(F.col("click") > F.col("view"), 1).otherwise(0)).alias("click_wins"),
-        F.sum(F.when(F.col("view") > F.col("click"), 1).otherwise(0)).alias("view_wins"),
+        F.sum(F.when(c_gt, 1).otherwise(0)).alias("click_wins"),
+        F.sum(F.when(v_gt, 1).otherwise(0)).alias("view_wins"),
         F.count(F.lit(1)).alias("n_docs"),
     )
 
 
 SQL_HEAD_TO_HEAD = """
-SELECT sum(CASE WHEN c > v THEN 1 ELSE 0 END) AS click_wins,
-       sum(CASE WHEN v > c THEN 1 ELSE 0 END) AS view_wins,
+SELECT sum(CASE WHEN csc * vn > vsc * cn THEN 1 ELSE 0 END) AS click_wins,
+       sum(CASE WHEN vsc * cn > csc * vn THEN 1 ELSE 0 END) AS view_wins,
        count(*) AS n_docs
 FROM (
-  SELECT user_id, avg(value) FILTER (event_type = 'click') AS c,
-         avg(value) FILTER (event_type = 'view') AS v
+  SELECT user_id,
+         CAST(sum(floor(value * 100 + 0.5)) FILTER (event_type = 'click') AS BIGINT) AS csc,
+         count(*) FILTER (event_type = 'click') AS cn,
+         CAST(sum(floor(value * 100 + 0.5)) FILTER (event_type = 'view') AS BIGINT) AS vsc,
+         count(*) FILTER (event_type = 'view') AS vn
   FROM events WHERE event_type IN ('click', 'view') GROUP BY user_id
-) WHERE c IS NOT NULL AND v IS NOT NULL
+) WHERE csc IS NOT NULL AND vsc IS NOT NULL
 """
 
 
@@ -290,7 +333,12 @@ def q_weighted_score(spark, sf_dir):
     per_model = (
         _events(spark, sf_dir)
         .groupBy("event_type")
-        .agg(F.avg("value").alias("avg_value"), F.count(F.lit(1)).cast("double").alias("n"))
+        .agg(_sum_cents().alias("sc"), F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "event_type",
+            (F.col("sc") / (100.0 * F.col("cnt"))).alias("avg_value"),
+            F.col("cnt").cast("double").alias("n"),
+        )
     )
     w = Window.partitionBy()  # whole-frame min/max (k rows — cheap)
 
@@ -317,8 +365,9 @@ def q_weighted_score(spark, sf_dir):
 
 SQL_WEIGHTED = """
 WITH per_model AS (
-  SELECT event_type, avg(value) AS avg_value, CAST(count(*) AS DOUBLE) AS n
-  FROM events GROUP BY event_type
+  SELECT event_type, sc / (100.0 * cnt) AS avg_value, CAST(cnt AS DOUBLE) AS n
+  FROM (SELECT event_type, sum(floor(value * 100 + 0.5)) AS sc, count(*) AS cnt
+        FROM events GROUP BY event_type)
 ), norm AS (
   SELECT event_type,
          CAST(CASE WHEN max(avg_value) OVER () = min(avg_value) OVER () THEN 1.0
@@ -347,10 +396,12 @@ def _per_model_criteria(spark, sf_dir):
     return (
         _events(spark, sf_dir)
         .groupBy("event_type")
-        .agg(
-            F.avg("value").alias("avg_value"),
-            F.sum("value").alias("sum_value"),
-            F.count(F.lit(1)).cast("double").alias("n_runs"),
+        .agg(_sum_cents().alias("sc"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            (F.col("sc") / (100.0 * F.col("n"))).alias("avg_value"),
+            (F.col("sc") / 100.0).alias("sum_value"),
+            F.col("n").cast("double").alias("n_runs"),
         )
     )
 
@@ -382,9 +433,10 @@ def q_borda_rank(spark, sf_dir):
 
 SQL_BORDA = """
 WITH per_model AS (
-  SELECT event_type, avg(value) AS avg_value, sum(value) AS sum_value,
-         CAST(count(*) AS DOUBLE) AS n_runs
-  FROM events GROUP BY event_type
+  SELECT event_type, sc / (100.0 * n) AS avg_value, sc / 100.0 AS sum_value,
+         CAST(n AS DOUBLE) AS n_runs
+  FROM (SELECT event_type, sum(floor(value * 100 + 0.5)) AS sc, count(*) AS n
+        FROM events GROUP BY event_type)
 ), melted AS (
   SELECT event_type, 'avg_value' AS criterion, avg_value AS score,
          CAST(0.5 AS DOUBLE) AS wt FROM per_model
@@ -429,9 +481,10 @@ def q_condorcet_wins(spark, sf_dir):
 
 SQL_CONDORCET = """
 WITH per_model AS (
-  SELECT event_type, avg(value) AS avg_value, sum(value) AS sum_value,
-         CAST(count(*) AS DOUBLE) AS n_runs
-  FROM events GROUP BY event_type
+  SELECT event_type, sc / (100.0 * n) AS avg_value, sc / 100.0 AS sum_value,
+         CAST(n AS DOUBLE) AS n_runs
+  FROM (SELECT event_type, sum(floor(value * 100 + 0.5)) AS sc, count(*) AS n
+        FROM events GROUP BY event_type)
 ), melted AS (
   SELECT event_type, 'avg_value' AS criterion, avg_value AS score FROM per_model
   UNION ALL SELECT event_type, 'sum_value', sum_value FROM per_model
@@ -450,7 +503,7 @@ FROM with_best GROUP BY event_type
 # ---------------------------------------------------------------------------
 
 def q_pricing_summary(spark, sf_dir):
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = read_spread(spark, f"{sf_dir}/lineitem.parquet")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -467,14 +520,22 @@ def q_pricing_summary(spark, sf_dir):
 
 SQL_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       floor((sum(l_quantity)) * 10000 + 0.5) / 10000 AS sum_qty,
-       floor((sum(l_extendedprice)) * 10000 + 0.5) / 10000 AS sum_base_price,
-       floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS sum_disc_price,
-       floor((avg(l_quantity)) * 10000 + 0.5) / 10000 AS avg_qty,
-       floor((avg(l_discount)) * 10000 + 0.5) / 10000 AS avg_disc,
-       count(*) AS count_order
-FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
-GROUP BY l_returnflag, l_linestatus
+       floor((sq) * 10000 + 0.5) / 10000 AS sum_qty,
+       floor((sbp_c / 100.0) * 10000 + 0.5) / 10000 AS sum_base_price,
+       floor((sdp_c / 10000.0) * 10000 + 0.5) / 10000 AS sum_disc_price,
+       floor((sq / (1.0 * count_order)) * 10000 + 0.5) / 10000 AS avg_qty,
+       floor((sd_c / (10000.0 * count_order)) * 10000 + 0.5) / 10000 AS avg_disc,
+       count_order
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         sum(l_quantity) AS sq,
+         sum(floor(l_extendedprice * 100 + 0.5)) AS sbp_c,
+         sum(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)) AS sdp_c,
+         sum(floor(l_discount * 10000 + 0.5)) AS sd_c,
+         count(*) AS count_order
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+  GROUP BY l_returnflag, l_linestatus
+)
 """
 
 
@@ -483,7 +544,7 @@ GROUP BY l_returnflag, l_linestatus
 # ---------------------------------------------------------------------------
 
 def q_revenue_per_nation(spark, sf_dir):
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = read_spread(spark, f"{sf_dir}/orders.parquet")
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     return (
@@ -491,17 +552,21 @@ def q_revenue_per_nation(spark, sf_dir):
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            r4(F.sum("o_totalprice")).alias("revenue"),
+            F.sum(cents(F.col("o_totalprice"))).alias("rc"),
             F.count(F.lit(1)).alias("n_orders"),
         )
+        .select("n_name", r4(F.col("rc") / 100.0).alias("revenue"), "n_orders")
     )
 
 
 SQL_REVENUE_NATION = """
-SELECT n_name, floor((sum(o_totalprice)) * 10000 + 0.5) / 10000 AS revenue, count(*) AS n_orders
-FROM orders JOIN customer ON o_custkey = c_custkey
-JOIN nation ON c_nationkey = n_nationkey
-GROUP BY n_name
+SELECT n_name, floor((rc / 100.0) * 10000 + 0.5) / 10000 AS revenue, n_orders
+FROM (
+  SELECT n_name, sum(floor(o_totalprice * 100 + 0.5)) AS rc, count(*) AS n_orders
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
 """
 
 
@@ -510,7 +575,7 @@ GROUP BY n_name
 # ---------------------------------------------------------------------------
 
 def q_customers_without_orders(spark, sf_dir):
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = read_spread(spark, f"{sf_dir}/orders.parquet")
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     no_orders = customer.join(
@@ -532,6 +597,108 @@ GROUP BY n_name
 """
 
 
+# ---------------------------------------------------------------------------
+# A8: criteria winners with tie -> None — per criterion, the unique best
+# model or null (scripts/export_benchmark_results.py:113-144)
+# ---------------------------------------------------------------------------
+
+def q_criteria_winners(spark, sf_dir):
+    melted = _per_model_criteria(spark, sf_dir).select(
+        "event_type",
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(c) for c, _ in _CRITERIA]),
+                F.array(*[F.col(c) for c, _ in _CRITERIA]),
+            )
+        ).alias("criterion", "score"),
+    )
+    w = Window.partitionBy("criterion")
+    tagged = melted.withColumn("best", F.max("score").over(w)).withColumn(
+        "n_best", F.sum(F.when(F.col("score") == F.col("best"), 1).otherwise(0)).over(w)
+    )
+    return tagged.groupBy("criterion").agg(
+        F.max(
+            F.when(
+                (F.col("score") == F.col("best")) & (F.col("n_best") == 1),
+                F.col("event_type"),
+            )
+        ).alias("winner"),
+        r4(F.max("best")).alias("best_score"),
+    )
+
+
+SQL_CRITERIA_WINNERS = """
+WITH per_model AS (
+  SELECT event_type, sc / (100.0 * n) AS avg_value, sc / 100.0 AS sum_value,
+         CAST(n AS DOUBLE) AS n_runs
+  FROM (SELECT event_type, sum(floor(value * 100 + 0.5)) AS sc, count(*) AS n
+        FROM events GROUP BY event_type)
+), melted AS (
+  SELECT event_type, 'avg_value' AS criterion, avg_value AS score FROM per_model
+  UNION ALL SELECT event_type, 'sum_value', sum_value FROM per_model
+  UNION ALL SELECT event_type, 'n_runs', n_runs FROM per_model
+), with_best AS (
+  SELECT *, max(score) OVER (PARTITION BY criterion) AS best FROM melted
+), tagged AS (
+  SELECT *, sum(CASE WHEN score = best THEN 1 ELSE 0 END)
+              OVER (PARTITION BY criterion) AS n_best
+  FROM with_best
+)
+SELECT criterion,
+       max(CASE WHEN score = best AND n_best = 1 THEN event_type END) AS winner,
+       floor((max(best)) * 10000 + 0.5) / 10000 AS best_score
+FROM tagged GROUP BY criterion
+"""
+
+
+# ---------------------------------------------------------------------------
+# W8 detail: criteria each model won, as a sorted list
+# (pages/llm_parsing_benchmark.py:384-397)
+# ---------------------------------------------------------------------------
+
+def q_condorcet_detail(spark, sf_dir):
+    melted = _per_model_criteria(spark, sf_dir).select(
+        "event_type",
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(c) for c, _ in _CRITERIA]),
+                F.array(*[F.col(c) for c, _ in _CRITERIA]),
+            )
+        ).alias("criterion", "score"),
+    )
+    best = Window.partitionBy("criterion")
+    return (
+        melted.withColumn("best", F.max("score").over(best))
+        .groupBy("event_type")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(F.col("score") == F.col("best"), F.col("criterion")))
+            ).alias("criteria_won")
+        )
+    )
+
+
+SQL_CONDORCET_DETAIL = """
+WITH per_model AS (
+  SELECT event_type, sc / (100.0 * n) AS avg_value, sc / 100.0 AS sum_value,
+         CAST(n AS DOUBLE) AS n_runs
+  FROM (SELECT event_type, sum(floor(value * 100 + 0.5)) AS sc, count(*) AS n
+        FROM events GROUP BY event_type)
+), melted AS (
+  SELECT event_type, 'avg_value' AS criterion, avg_value AS score FROM per_model
+  UNION ALL SELECT event_type, 'sum_value', sum_value FROM per_model
+  UNION ALL SELECT event_type, 'n_runs', n_runs FROM per_model
+), with_best AS (
+  SELECT event_type, criterion, score,
+         max(score) OVER (PARTITION BY criterion) AS best
+  FROM melted
+)
+SELECT event_type,
+       coalesce(list_sort(list(criterion) FILTER (score = best)), []) AS criteria_won
+FROM with_best GROUP BY event_type
+"""
+
+
 QUERIES = {
     "agg_per_model_summary": q_per_model_summary,
     "agg_error_mask": q_error_mask_agg,
@@ -549,6 +716,8 @@ QUERIES = {
     "tpch_pricing_summary": q_pricing_summary,
     "join_revenue_per_nation": q_revenue_per_nation,
     "join_customers_without_orders": q_customers_without_orders,
+    "rank_criteria_winners": q_criteria_winners,
+    "rank_condorcet_detail": q_condorcet_detail,
 }
 
 ORACLES = {
@@ -568,4 +737,6 @@ ORACLES = {
     "tpch_pricing_summary": SQL_PRICING,
     "join_revenue_per_nation": SQL_REVENUE_NATION,
     "join_customers_without_orders": SQL_NO_ORDERS,
+    "rank_criteria_winners": SQL_CRITERIA_WINNERS,
+    "rank_condorcet_detail": SQL_CONDORCET_DETAIL,
 }

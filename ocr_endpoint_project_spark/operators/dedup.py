@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ._io import read_spread
 from ..functions.text import (
     SQL_NORM_TOKENS,
     SQL_SHINGLE_HASH32,
@@ -34,7 +35,7 @@ NGRAM_N = 3
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return read_spread(spark, f"{sf_dir}/documents.parquet")
 
 
 def _sql_tokens(col: str = "text") -> str:
@@ -78,9 +79,12 @@ FROM documents GROUP BY 1
 # ---------------------------------------------------------------------------
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
+    # cached: consumed three times (both self-join sides + sizes); at
+    # production scale this materializes as a signatures table instead
     sh = (
         _docs(spark, sf_dir)
         .select("doc_id", F.explode(_shingles(norm_tokens("text"))).alias("s"))
+        .cache()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
@@ -127,24 +131,24 @@ WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= {JACCARD_THRESHOLD}
 # Engine-portable because the base hash is md5-derived (functions/text).
 # ---------------------------------------------------------------------------
 
-def _perm(a: int, b: int):
-    # closure factory: Spark HOF lambdas must take exactly one parameter
-    return lambda h: (h * a + b) % MINHASH_P
+def q_minhash_signature(spark, sf_dir):
+    """explode(shingle) -> hash once -> groupBy(doc).agg(min per perm).
 
-
-def _minhash_cols(shingle_hashes):
-    return [
-        F.array_min(F.transform(shingle_hashes, _perm(a, b))).alias(f"mh{i}")
+    The array-HOF formulation (transform+array_min per permutation)
+    recomputes the md5 shingle hashes once per permutation after Catalyst
+    collapses the projections — 8x the work. The explode+groupBy shape
+    hashes each shingle exactly once and is also the 10^12-doc shape:
+    one shuffle keyed by doc_id with map-side partial min."""
+    sh = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(_shingles(norm_tokens("text"))).alias("s"))
+        .select("doc_id", shingle_hash32(F.col("s")).alias("h"))
+    )
+    aggs = [
+        F.min((F.col("h") * a + b) % MINHASH_P).alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_PERMS)
     ]
-
-
-def q_minhash_signature(spark, sf_dir):
-    docs = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.transform(_shingles(norm_tokens("text")), lambda s: shingle_hash32(s)).alias("hs"),
-    ).filter(F.size("hs") > 0)
-    return docs.select("doc_id", *_minhash_cols(F.col("hs")))
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def _sql_minhash_exprs() -> str:
@@ -170,7 +174,7 @@ FROM shl WHERE len(sh) > 0
 # ---------------------------------------------------------------------------
 
 def q_minhash_lsh_pairs(spark, sf_dir):
-    sig = q_minhash_signature(spark, sf_dir)
+    sig = q_minhash_signature(spark, sf_dir).cache()  # both self-join sides
     n_bands = len(MINHASH_PERMS) // LSH_ROWS_PER_BAND
     bands = sig.select(
         "doc_id",
@@ -207,7 +211,7 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     # verify candidates with exact shingle Jaccard (only candidate pairs pay)
     sh = _docs(spark, sf_dir).select(
         "doc_id", _shingles(norm_tokens("text")).alias("sh")
-    )
+    ).cache()  # consumed by both verify-join sides
     sa = sh.alias("sa")
     sb = sh.alias("sb")
     return (
@@ -317,7 +321,7 @@ def cosine_expr(a, b):
 
 
 def q_embedding_dup_pairs(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_spread(spark, f"{sf_dir}/embeddings.parquet")
     a = emb.alias("a")
     b = emb.alias("b")
     return (

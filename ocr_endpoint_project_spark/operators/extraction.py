@@ -19,13 +19,14 @@ from ..functions.kernels import (
     token_wer_udf,
     word_metrics_udf,
 )
+from ._io import read_spread
 from ..functions.text import r4
 from ..pipeline.extract import run_extraction
 from ..sources.pages import pages_from_documents
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return read_spread(spark, f"{sf_dir}/documents.parquet")
 
 
 # ---------------------------------------------------------------------------

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ._io import read_spread
 from ..functions.text import r4
 from .dedup import cosine_expr
 
@@ -23,7 +24,7 @@ N_QUERIES = 10
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return read_spread(spark, f"{sf_dir}/embeddings.parquet")
 
 
 def q_ann_bruteforce_topk(spark, sf_dir):

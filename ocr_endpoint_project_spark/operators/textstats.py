@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ._io import read_spread
 from ..functions.text import (
     SQL_CER,
     SQL_NORM_TOKENS,
@@ -30,7 +31,7 @@ LANGS = sorted(STOPWORDS)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return read_spread(spark, f"{sf_dir}/documents.parquet")
 
 
 def _sql_tokens(col: str = "text") -> str:

@@ -1,0 +1,108 @@
+"""The reference's corpus-benchmark flow (§3.3 of SURVEY.md), Spark-first.
+
+``pages/parallel_ocr_test.py`` loops documents sequentially, runs 2 OCR
+models per doc in threads, scores each against golden text, appends to a
+results table, then aggregates + ranks. Here the model axis is a COLUMN:
+each extractor variant contributes rows to one results DataFrame
+(``unionByName`` of per-variant runs = the thread fan-out of
+``pages/2_OCR_Benchmark.py:846-860``), metrics come from the word-metrics
+kernel + Catalyst CER, and the analytics layer (latest snapshot, per-model
+summary, Borda/Condorcet) consumes the same table shape as the reference
+DDL (``pages/parallel_ocr_test.py:33-54``).
+
+Extractor variants (deterministic, no remote APIs):
+* ``structured``  — the real extraction pipeline (html/pdf/png kernels);
+* ``raw_text``    — naive whitespace-collapse of the decoded payload
+  (boilerplate kept), a genuinely worse baseline so rankings have signal.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.kernels import word_metrics_udf
+from ..functions.text import cer_expr
+from ..pipeline.extract import run_extraction
+
+RAW_SCHEMA = "url string, extracted_text string, status string"
+
+
+def _raw_text_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Baseline 'model': decode payload, collapse whitespace, strip tags
+    crudely (everything between < and > dropped) — the kind of extraction
+    the reference's weakest OCR model approximates."""
+    import re
+
+    tag_re = re.compile(r"<[^>]*>")
+
+    def run(payload) -> str:
+        if payload is None:
+            return ""
+        raw = bytes(payload).decode("utf-8", "replace")
+        return " ".join(tag_re.sub(" ", raw).split())
+
+    for batch in it:
+        yield pd.DataFrame(
+            {
+                "url": batch["url"],
+                "extracted_text": [run(p) for p in batch["html"]],
+                "status": "succeeded",
+            }
+        )
+
+
+def run_model_benchmark(pages: DataFrame, num_partitions: int = 32) -> DataFrame:
+    """pages -> results rows: one per (url, model_name) with metric struct.
+
+    Output columns mirror the reference results DDL: url, model_name,
+    cer_pct, wer_pct, layout_accuracy_pct, accuracy_pct, error, run_at.
+    """
+    golden = pages.select("url", F.col("text").alias("golden"), "lang")
+
+    structured = (
+        run_extraction(pages, num_partitions=num_partitions)
+        .select("url", "extracted_text", "status", "error")
+        .withColumn("model_name", F.lit("structured"))
+    )
+    raw = (
+        pages.select("url", "html")
+        .repartition(num_partitions)
+        .mapInPandas(_raw_text_batch, RAW_SCHEMA)
+        .withColumn("model_name", F.lit("raw_text"))
+        .withColumn("error", F.lit(None).cast("string"))
+    )
+    runs = structured.unionByName(raw)
+
+    scored = runs.join(golden, "url", "left").withColumn(
+        "m", word_metrics_udf(F.col("golden"), F.col("extracted_text"))
+    )
+    return scored.select(
+        "url",
+        "model_name",
+        "lang",
+        cer_expr(F.col("golden"), F.col("extracted_text")).alias("cer_pct"),
+        F.col("m.wer_pct").alias("wer_pct"),
+        F.col("m.layout_accuracy_pct").alias("layout_accuracy_pct"),
+        F.col("m.accuracy_pct").alias("accuracy_pct"),
+        "status",
+        "error",
+        F.current_timestamp().alias("run_at"),
+    )
+
+
+def per_model_summary(results: DataFrame) -> DataFrame:
+    """A1/A2: error-masked per-model means (pages/parallel_ocr_test.py:211-228)."""
+    ok = results.filter(
+        F.col("error").isNull() | (F.trim(F.col("error")) == "")
+    )
+    return ok.groupBy("model_name").agg(
+        F.avg("cer_pct").alias("avg_cer_pct"),
+        F.avg("wer_pct").alias("avg_wer_pct"),
+        F.avg("layout_accuracy_pct").alias("avg_layout_pct"),
+        F.avg("accuracy_pct").alias("avg_word_accuracy_pct"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )

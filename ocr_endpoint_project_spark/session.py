@@ -26,17 +26,29 @@ def build_session(
     app_name: str = "ocr-endpoint-project-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    arrow_batch_rows: int = ARROW_MAX_RECORDS,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    """``arrow_batch_rows``: size so that rows x max_doc_bytes <= ~256 MB.
+    64 is right for 10 MB blobs; KB-sized corpora can use 1024+."""
     master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+    )
+    # shuffle to tmpfs when available (local mode; clusters provision
+    # spark.local.dir themselves via SPARK_LOCAL_DIRS)
+    if "SPARK_LOCAL_DIRS" not in os.environ and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
+    builder = (
+        builder
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -72,15 +72,21 @@ def _paragraph(rng: random.Random, words: list[str]) -> str:
     )
 
 
-def _content_blocks(rng: random.Random, lang: str) -> list[tuple[str, str]]:
-    """The content model: (kind, text) blocks that ARE the main content."""
+def _content_blocks(
+    rng: random.Random, lang: str, richness: int = 1
+) -> list[tuple[str, str]]:
+    """The content model: (kind, text) blocks that ARE the main content.
+
+    ``richness`` scales paragraphs-per-section (1 = short test docs,
+    8 ~= realistic Common-Crawl page weight of tens of KB).
+    """
     words = VOCAB[lang]
     blocks: list[tuple[str, str]] = [
         ("heading", _sentence(rng, words, rng.randint(3, 6)))
     ]
     for header in rng.sample(SECTION_HEADERS[lang], rng.randint(2, 4)):
         blocks.append(("heading", header))
-        for _ in range(rng.randint(1, 3)):
+        for _ in range(rng.randint(1, 3) * richness):
             blocks.append(("paragraph", _paragraph(rng, words)))
     return blocks
 
@@ -214,7 +220,9 @@ def render_png(blocks: list[tuple[str, str]]) -> tuple[bytes, str]:
 _EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
 
 
-def generate_corpus(n: int = 100, seed: int = 42, include_failures: bool = True) -> list[PageRow]:
+def generate_corpus(
+    n: int = 100, seed: int = 42, include_failures: bool = True, richness: int = 1
+) -> list[PageRow]:
     """Generate ``n`` deterministic page rows covering the matrix."""
     rng = random.Random(seed)
     rows: list[PageRow] = []
@@ -236,7 +244,7 @@ def generate_corpus(n: int = 100, seed: int = 42, include_failures: bool = True)
                     PageRow(url, ts, b"\x00\x01binary-noise\x02", "", lang, "bin", "mono", 0, 1)
                 )
             else:  # html payload but golden text missing -> skip-with-reason path
-                blocks = _content_blocks(rng, lang)
+                blocks = _content_blocks(rng, lang, richness)
                 rows.append(
                     PageRow(url, ts, render_html(rng, blocks), "", lang, "html", "mono", 0, 1)
                 )
@@ -250,7 +258,7 @@ def generate_corpus(n: int = 100, seed: int = 42, include_failures: bool = True)
             rows.append(PageRow(url, ts, payload, golden, "en", "pdf", "mono", 0, 1))
             continue
 
-        blocks = _content_blocks(rng, lang)
+        blocks = _content_blocks(rng, lang, richness)
         if roll < 0.60:
             payload = render_html(rng, blocks)
             golden = golden_from_blocks(blocks)

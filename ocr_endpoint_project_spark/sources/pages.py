@@ -29,12 +29,49 @@ _POST = (
 )
 
 
-def corpus_pages(spark: SparkSession, n: int = 200, seed: int = 42) -> DataFrame:
+def corpus_pages(
+    spark: SparkSession, n: int = 200, seed: int = 42, richness: int = 1
+) -> DataFrame:
     """Synthetic corpus rows (sources/corpus.py) as a pages DataFrame."""
     rows = [
-        (r.url, r.warc_ts, r.html, r.text, r.lang) for r in generate_corpus(n=n, seed=seed)
+        (r.url, r.warc_ts, r.html, r.text, r.lang)
+        for r in generate_corpus(n=n, seed=seed, richness=richness)
     ]
     return spark.createDataFrame(rows, PAGES_SCHEMA)
+
+
+def cached_corpus_pages(
+    spark: SparkSession,
+    cache_dir: str,
+    n: int = 5000,
+    seed: int = 42,
+    replicas: int = 1,
+    richness: int = 1,
+) -> DataFrame:
+    """Mixed html/pdf/png corpus as parquet (generated once, cached), then
+    optionally fanned out xreplicas in Catalyst with distinct urls — the
+    bench input: realistic payload mix, parquet scan path, any size."""
+    import os
+
+    path = os.path.join(cache_dir, f"pages_n{n}_s{seed}_r{richness}.parquet")
+    if not os.path.isdir(path):
+        # 64 files so the scan+explode stage parallelizes at any core count
+        # (8 files capped the stage at 8 tasks -> Amdahl at local[32])
+        corpus_pages(spark, n=n, seed=seed, richness=richness).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(path)
+    pages = spark.read.parquet(path)
+    if replicas <= 1:
+        return pages
+    return pages.withColumn(
+        "rep", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1)))
+    ).select(
+        F.concat(F.col("url"), F.lit("#"), F.col("rep")).alias("url"),
+        "warc_ts",
+        "html",
+        "text",
+        "lang",
+    )
 
 
 def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

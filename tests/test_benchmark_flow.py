@@ -1,0 +1,50 @@
+"""The §3.3 corpus-benchmark flow: model fan-out -> metrics -> results
+table -> summary/export (reference: pages/parallel_ocr_test.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+
+from ocr_endpoint_project_spark.pipeline.benchmark import (
+    per_model_summary,
+    run_model_benchmark,
+)
+from ocr_endpoint_project_spark.pipeline.export import export_results, latest_snapshot
+from ocr_endpoint_project_spark.sources.pages import corpus_pages
+
+
+def test_model_benchmark_and_export(spark, tmp_path):
+    pages = corpus_pages(spark, n=60, seed=42).filter(F.col("text") != "").cache()
+    n_pages = pages.count()
+
+    results = run_model_benchmark(pages, num_partitions=8).cache()
+    # two variants per doc (O1 fan-out as a column)
+    assert results.count() == 2 * n_pages
+    models = {r["model_name"] for r in results.select("model_name").distinct().collect()}
+    assert models == {"structured", "raw_text"}
+
+    summary = per_model_summary(results)
+    by_model = {r["model_name"]: r for r in summary.collect()}
+    # the real extractor is byte-identical -> CER/WER exactly 0
+    assert by_model["structured"]["avg_cer_pct"] == 0.0
+    assert by_model["structured"]["avg_wer_pct"] == 0.0
+    # the naive baseline keeps boilerplate -> strictly worse
+    assert by_model["raw_text"]["avg_cer_pct"] > 0.0
+    assert by_model["structured"]["avg_word_accuracy_pct"] == 100.0
+
+    # S8 export sinks: all-runs CSV, latest-snapshot CSV, summary JSON
+    out = str(tmp_path / "export")
+    summary_json = export_results(results, out)
+    assert set(summary_json) == {"structured", "raw_text"}
+    assert summary_json["structured"]["avg_cer_pct"] == 0.0
+    with open(os.path.join(out, "summary.json"), encoding="utf-8") as f:
+        assert json.load(f) == summary_json
+    snap = latest_snapshot(results)
+    assert snap.count() == 2 * n_pages  # one run per key so snapshot == all
+    csv = spark.read.option("header", True).csv(os.path.join(out, "latest_snapshot_csv"))
+    assert csv.count() == 2 * n_pages
+    results.unpersist()
+    pages.unpersist()
