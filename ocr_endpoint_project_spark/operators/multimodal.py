@@ -1,0 +1,228 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads
+with typed metadata, processed by Arrow-batch kernels.
+
+The container parsing is REAL (PNG chunk walk for images; a simple
+length-prefixed frame container for 'video'; WAV-style header for
+'audio'); the pixel/sample decode is STUBBED deterministically because
+this environment has no image/audio libraries — each stub is marked and
+swaps for a real decoder with the same signature. What matters at 100 TB
+is exercised for real: schema, binary-safe Arrow batching, partitioning,
+and metadata extraction without reading payload bodies where possible.
+
+Oracle-checked queries build the media table IN CATALYST from the driver
+``documents`` table, so DuckDB can predict every output value.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ._io import read_spread
+from ..extraction_core.png_stub import PNG_MAGIC
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("codec", T.StringType(), True),
+    ]
+)
+
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("meta", MEDIA_META, True),
+        T.StructField("payload_bytes", T.LongType(), False),
+        T.StructField("status", T.StringType(), False),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# container builders (deterministic synthetic assets)
+# ---------------------------------------------------------------------------
+
+def make_image(width: int, height: int) -> bytes:
+    """Minimal PNG: real signature + IHDR (no pixel data needed for meta)."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    import zlib
+
+    crc = zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+    return PNG_MAGIC + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + struct.pack(">I", crc)
+
+
+def make_audio(sample_rate: int, n_samples: int) -> bytes:
+    """WAV-ish: RIFF header with fmt fields; body omitted (meta-only)."""
+    return (
+        b"RIFF" + struct.pack("<I", 36 + n_samples * 2) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", n_samples * 2)
+    )
+
+
+def make_video(frames: list[bytes]) -> bytes:
+    """Length-prefixed frame container: [u32 n][u32 len, frame]*."""
+    out = bytearray(b"VID0" + struct.pack(">I", len(frames)))
+    for fr in frames:
+        out += struct.pack(">I", len(fr)) + fr
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decode kernel (mapInPandas): container parse real, pixel decode stubbed
+# ---------------------------------------------------------------------------
+
+def decode_media_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for batch in it:
+        rows = {k: [] for k in ("asset_id", "kind", "meta", "payload_bytes", "status")}
+        for aid, kind, payload in zip(batch["asset_id"], batch["kind"], batch["payload"]):
+            raw = bytes(payload) if payload is not None else b""
+            meta = None
+            status = "succeeded"
+            try:
+                if kind == "image" and raw.startswith(PNG_MAGIC):
+                    w, h = struct.unpack(">II", raw[16:24])
+                    meta = {"width": int(w), "height": int(h), "n_frames": 1,
+                            "sample_rate": None, "codec": "png"}
+                elif kind == "audio" and raw[:4] == b"RIFF":
+                    sr = struct.unpack("<I", raw[24:28])[0]
+                    meta = {"width": None, "height": None, "n_frames": None,
+                            "sample_rate": int(sr), "codec": "pcm"}
+                elif kind == "video" and raw[:4] == b"VID0":
+                    n = struct.unpack(">I", raw[4:8])[0]
+                    meta = {"width": None, "height": None, "n_frames": int(n),
+                            "sample_rate": None, "codec": "vid0"}
+                else:
+                    status = "failed"
+            except Exception:  # noqa: BLE001 — corrupt container = failed row
+                status = "failed"
+            rows["asset_id"].append(aid)
+            rows["kind"].append(kind)
+            rows["meta"].append(meta)
+            rows["payload_bytes"].append(len(raw))
+            rows["status"].append(status)
+        yield pd.DataFrame(rows)
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """STUB: pixel resampling needs an image library absent here.
+
+    The Spark-side plumbing (binary in/out kernel, bounded batches) is
+    exercised by :func:`frame_sample_batch`; a deployment replaces this
+    body with e.g. ``PIL.Image.open(...).resize(...)``.
+    """
+    raise NotImplementedError("pixel decode unavailable in this environment")
+
+
+def frame_sample_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Sample every k-th frame of VID0 containers (real byte slicing)."""
+    for batch in it:
+        out = {"asset_id": [], "frame_no": [], "frame_bytes": []}
+        for aid, payload, k in zip(batch["asset_id"], batch["payload"], batch["every_k"]):
+            raw = bytes(payload)
+            if raw[:4] != b"VID0":
+                continue
+            n = struct.unpack(">I", raw[4:8])[0]
+            pos = 8
+            for i in range(n):
+                (ln,) = struct.unpack(">I", raw[pos : pos + 4])
+                frame = raw[pos + 4 : pos + 4 + ln]
+                pos += 4 + ln
+                if i % int(k) == 0:
+                    out["asset_id"].append(aid)
+                    out["frame_no"].append(i)
+                    out["frame_bytes"].append(len(frame))
+        yield pd.DataFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# oracle-checked queries: media table synthesized in Catalyst
+# ---------------------------------------------------------------------------
+
+def _media(spark, sf_dir):
+    """documents -> media assets: image / audio / video round-robin by
+    doc_id, payload built by deterministic udf-free rules is impossible in
+    Catalyst (binary containers), so a tiny Arrow kernel builds payloads —
+    sizes derive from n_chars so the oracle can predict every value."""
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet").select("doc_id", "n_chars")
+
+    def build(it):
+        for batch in it:
+            rows = {"asset_id": [], "kind": [], "payload": []}
+            for did, nc in zip(batch["doc_id"], batch["n_chars"]):
+                did, nc = int(did), int(nc)
+                kind = ("image", "audio", "video")[did % 3]
+                if kind == "image":
+                    payload = make_image(nc, nc // 2 + 1)
+                elif kind == "audio":
+                    payload = make_audio(8000 + nc, nc)
+                else:
+                    payload = make_video([b"x" * (nc % 7 + 1)] * (nc % 5 + 1))
+                rows["asset_id"].append(did)
+                rows["kind"].append(kind)
+                rows["payload"].append(payload)
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(build, "asset_id long, kind string, payload binary")
+
+
+def q_media_decode(spark, sf_dir):
+    media = _media(spark, sf_dir)
+    decoded = media.mapInPandas(decode_media_batch, DECODE_SCHEMA)
+    return decoded.select(
+        "asset_id",
+        "kind",
+        F.col("meta.width").cast("bigint").alias("width"),
+        F.col("meta.sample_rate").cast("bigint").alias("sample_rate"),
+        F.col("meta.n_frames").cast("bigint").alias("n_frames"),
+        "status",
+    )
+
+
+SQL_MEDIA_DECODE = """
+SELECT doc_id AS asset_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CASE WHEN doc_id % 3 = 0 THEN n_chars END AS width,
+       CASE WHEN doc_id % 3 = 1 THEN 8000 + n_chars END AS sample_rate,
+       CASE doc_id % 3 WHEN 0 THEN 1 WHEN 2 THEN n_chars % 5 + 1 END AS n_frames,
+       'succeeded' AS status
+FROM documents
+"""
+
+
+def q_media_frame_sample(spark, sf_dir):
+    media = _media(spark, sf_dir).filter(F.col("kind") == "video")
+    frames = media.withColumn("every_k", F.lit(2)).mapInPandas(
+        frame_sample_batch, "asset_id long, frame_no int, frame_bytes long"
+    )
+    return frames.groupBy("asset_id").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("frame_bytes").alias("sampled_bytes"),
+    )
+
+
+SQL_MEDIA_FRAMES = """
+SELECT doc_id AS asset_id,
+       CAST(ceil((n_chars % 5 + 1) / 2.0) AS BIGINT) AS n_sampled,
+       CAST(ceil((n_chars % 5 + 1) / 2.0) AS BIGINT) * (n_chars % 7 + 1) AS sampled_bytes
+FROM documents WHERE doc_id % 3 = 2
+"""
+
+
+QUERIES = {
+    "media_decode_meta": q_media_decode,
+    "media_frame_sample": q_media_frame_sample,
+}
+
+ORACLES = {
+    "media_decode_meta": SQL_MEDIA_DECODE,
+    "media_frame_sample": SQL_MEDIA_FRAMES,
+}
