@@ -699,6 +699,83 @@ FROM with_best GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# A9: pairwise 5-criteria verdict — model A vs model B, wins out of 5
+# (pages/parallel_ocr_test.py:230-270)
+# ---------------------------------------------------------------------------
+
+def q_pairwise_verdict(spark, sf_dir):
+    per = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type")
+        .agg(
+            _sum_cents().cast("long").alias("sc"),
+            F.count(F.lit(1)).alias("n"),
+            F.max(cents(F.col("value")).cast("long")).alias("mx"),
+            F.min(cents(F.col("value")).cast("long")).alias("mn"),
+        )
+    )
+    a = per.filter(F.col("event_type") == "click").alias("a")
+    b = per.filter(F.col("event_type") == "view").alias("b")
+    j = a.crossJoin(b)
+    # criteria (all higher-better; avg compared by integer cross-multiply):
+    # 1 avg, 2 sum, 3 count, 4 max, 5 min
+    crit = [
+        (F.col("a.sc") * F.col("b.n"), F.col("b.sc") * F.col("a.n")),
+        (F.col("a.sc"), F.col("b.sc")),
+        (F.col("a.n"), F.col("b.n")),
+        (F.col("a.mx"), F.col("b.mx")),
+        (F.col("a.mn"), F.col("b.mn")),
+    ]
+    a_wins = sum(F.when(x > y, 1).otherwise(0) for x, y in crit)
+    b_wins = sum(F.when(y > x, 1).otherwise(0) for x, y in crit)
+    return j.select(
+        F.lit("click").alias("model_a"),
+        F.lit("view").alias("model_b"),
+        a_wins.cast("bigint").alias("a_wins"),
+        b_wins.cast("bigint").alias("b_wins"),
+        (F.lit(5) - a_wins - b_wins).cast("bigint").alias("ties"),
+    )
+
+
+SQL_PAIRWISE_VERDICT = """
+WITH per AS (
+  SELECT event_type,
+         CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS sc,
+         count(*) AS n,
+         CAST(max(floor(value * 100 + 0.5)) AS BIGINT) AS mx,
+         CAST(min(floor(value * 100 + 0.5)) AS BIGINT) AS mn
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY event_type
+), j AS (
+  SELECT a.sc asc_, a.n an, a.mx amx, a.mn amn, b.sc bsc, b.n bn, b.mx bmx, b.mn bmn
+  FROM per a, per b WHERE a.event_type = 'click' AND b.event_type = 'view'
+)
+SELECT 'click' AS model_a, 'view' AS model_b,
+       CAST((CASE WHEN asc_ * bn > bsc * an THEN 1 ELSE 0 END)
+          + (CASE WHEN asc_ > bsc THEN 1 ELSE 0 END)
+          + (CASE WHEN an > bn THEN 1 ELSE 0 END)
+          + (CASE WHEN amx > bmx THEN 1 ELSE 0 END)
+          + (CASE WHEN amn > bmn THEN 1 ELSE 0 END) AS BIGINT) AS a_wins,
+       CAST((CASE WHEN bsc * an > asc_ * bn THEN 1 ELSE 0 END)
+          + (CASE WHEN bsc > asc_ THEN 1 ELSE 0 END)
+          + (CASE WHEN bn > an THEN 1 ELSE 0 END)
+          + (CASE WHEN bmx > amx THEN 1 ELSE 0 END)
+          + (CASE WHEN bmn > amn THEN 1 ELSE 0 END) AS BIGINT) AS b_wins,
+       CAST(5 - ((CASE WHEN asc_ * bn > bsc * an THEN 1 ELSE 0 END)
+          + (CASE WHEN asc_ > bsc THEN 1 ELSE 0 END)
+          + (CASE WHEN an > bn THEN 1 ELSE 0 END)
+          + (CASE WHEN amx > bmx THEN 1 ELSE 0 END)
+          + (CASE WHEN amn > bmn THEN 1 ELSE 0 END))
+          - ((CASE WHEN bsc * an > asc_ * bn THEN 1 ELSE 0 END)
+          + (CASE WHEN bsc > asc_ THEN 1 ELSE 0 END)
+          + (CASE WHEN bn > an THEN 1 ELSE 0 END)
+          + (CASE WHEN bmx > amx THEN 1 ELSE 0 END)
+          + (CASE WHEN bmn > amn THEN 1 ELSE 0 END)) AS BIGINT) AS ties
+FROM j
+"""
+
+
 QUERIES = {
     "agg_per_model_summary": q_per_model_summary,
     "agg_error_mask": q_error_mask_agg,
@@ -718,6 +795,7 @@ QUERIES = {
     "join_customers_without_orders": q_customers_without_orders,
     "rank_criteria_winners": q_criteria_winners,
     "rank_condorcet_detail": q_condorcet_detail,
+    "rank_pairwise_verdict": q_pairwise_verdict,
 }
 
 ORACLES = {
@@ -739,4 +817,5 @@ ORACLES = {
     "join_customers_without_orders": SQL_NO_ORDERS,
     "rank_criteria_winners": SQL_CRITERIA_WINNERS,
     "rank_condorcet_detail": SQL_CONDORCET_DETAIL,
+    "rank_pairwise_verdict": SQL_PAIRWISE_VERDICT,
 }

@@ -97,6 +97,17 @@ def test_lineage_and_resume(spark, pages, tmp_path):
     # lineage accounting: doc counts sum to corpus size
     assert sum(r["doc_count"] for r in lin2.collect()) == N_CORPUS
 
+    # SURVEY §5 property: resume(run A ∪ run B) ≡ one single-shot run,
+    # content-wise per url (not just counts)
+    single = run_extraction(pages, num_partitions=16)
+    resumed_sig = {
+        (r["url"], r["extracted_text"]) for r in final.select("url", "extracted_text").collect()
+    }
+    single_sig = {
+        (r["url"], r["extracted_text"]) for r in single.select("url", "extracted_text").collect()
+    }
+    assert resumed_sig == single_sig
+
 
 def test_lineage_checksum_deterministic(spark, pages):
     ex = run_extraction(pages, num_partitions=8).cache()
