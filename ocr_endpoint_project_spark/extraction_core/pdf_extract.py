@@ -119,80 +119,92 @@ _ESCAPES = {
     b"("[0]: "(", b")"[0]: ")", b"\\"[0]: "\\",
 }
 
+# single compiled scanner: one C-level match per token instead of
+# byte-at-a-time dispatch (the tokenizer was the kernel's hottest path)
+_SCANNER = re.compile(
+    rb"(?P<ws>\s+)"
+    rb"|(?P<hex><[0-9A-Fa-f\s]+>|<>)"
+    rb"|(?P<dopen><<)|(?P<dclose>>>)"
+    rb"|(?P<arr>[\[\]])"
+    rb"|(?P<name>/[^\s\[\]()<>/]*)"
+    rb"|(?P<num>[-+]?(?:\d+\.\d*|\.\d+|\d+))"
+    rb"|(?P<op>[A-Za-z'\"*]+)"
+)
+_WS_RE = re.compile(rb"\s+")
+
+
+def _literal_string(stream: bytes, i: int) -> tuple[str, int]:
+    """Parse a literal ( ... ) string starting after the '('. Returns
+    (text, index-after-closing-paren)."""
+    out = []
+    n = len(stream)
+    depth = 1
+    while i < n and depth:
+        ch = stream[i]
+        if ch == 0x5C and i + 1 < n:  # backslash
+            nxt = stream[i + 1]
+            if nxt in _ESCAPES:
+                out.append(_ESCAPES[nxt])
+                i += 2
+            elif 0x30 <= nxt <= 0x37:  # octal
+                j = i + 1
+                oct_digits = b""
+                while j < n and len(oct_digits) < 3 and 0x30 <= stream[j] <= 0x37:
+                    oct_digits += stream[j : j + 1]
+                    j += 1
+                out.append(chr(int(oct_digits, 8)))
+                i = j
+            else:
+                i += 2
+        elif ch == 0x28:
+            depth += 1
+            out.append("(")
+            i += 1
+        elif ch == 0x29:
+            depth -= 1
+            if depth:
+                out.append(")")
+            i += 1
+        else:
+            out.append(chr(ch))
+            i += 1
+    return "".join(out), i
+
 
 def _tokenize(stream: bytes):
     """Yield tokens: floats, names (/F1), operators, and ("str", text)."""
     i, n = 0, len(stream)
+    scan = _SCANNER.match
     while i < n:
-        c = stream[i : i + 1]
-        if c in b" \t\r\n":
-            i += 1
-        elif c == b"(":  # literal string
-            out = []
-            i += 1
-            depth = 1
-            while i < n and depth:
-                ch = stream[i]
-                if ch == 0x5C and i + 1 < n:  # backslash
-                    nxt = stream[i + 1]
-                    if nxt in _ESCAPES:
-                        out.append(_ESCAPES[nxt])
-                        i += 2
-                    elif 0x30 <= nxt <= 0x37:  # octal
-                        j = i + 1
-                        oct_digits = b""
-                        while j < n and len(oct_digits) < 3 and 0x30 <= stream[j] <= 0x37:
-                            oct_digits += stream[j : j + 1]
-                            j += 1
-                        out.append(chr(int(oct_digits, 8)))
-                        i = j
-                    else:
-                        i += 1
-                elif ch == 0x28:
-                    depth += 1
-                    out.append("(")
-                    i += 1
-                elif ch == 0x29:
-                    depth -= 1
-                    if depth:
-                        out.append(")")
-                    i += 1
-                else:
-                    out.append(chr(ch))
-                    i += 1
-            yield ("str", "".join(out))
-        elif c == b"<" and stream[i : i + 2] != b"<<":  # hex string
-            j = stream.find(b">", i)
-            hexbody = re.sub(rb"\s+", b"", stream[i + 1 : j])
+        if stream[i] == 0x28:  # '(' literal string — stateful, manual parse
+            text, i = _literal_string(stream, i + 1)
+            yield ("str", text)
+            continue
+        m = scan(stream, i)
+        if m is None:
+            i += 1  # unknown byte — skip
+            continue
+        i = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        if kind == "hex":
+            hexbody = _WS_RE.sub(b"", m.group(0)[1:-1])
             if len(hexbody) % 2:
                 hexbody += b"0"
             yield ("str", bytes.fromhex(hexbody.decode("ascii")).decode("utf-8", "replace"))
-            i = j + 1
-        elif c == b"<":  # dict open <<
-            i += 2
-            yield ("op", "<<")
-        elif c == b">" and stream[i : i + 2] == b">>":
-            i += 2
-            yield ("op", ">>")
-        elif c in b"[]":
-            yield ("op", c.decode())
-            i += 1
-        elif c == b"/":
-            m = re.match(rb"/[^\s\[\]()<>/]*", stream[i:])
+        elif kind == "num":
+            yield ("num", float(m.group(0)))
+        elif kind == "name":
             yield ("name", m.group(0).decode("latin-1"))
-            i += len(m.group(0))
-        else:
-            m = re.match(rb"[-+]?\d*\.?\d+", stream[i:])
-            if m and m.group(0):
-                yield ("num", float(m.group(0)))
-                i += len(m.group(0))
-            else:
-                m = re.match(rb"[A-Za-z'\"*]+", stream[i:])
-                if m:
-                    yield ("op", m.group(0).decode("latin-1"))
-                    i += len(m.group(0))
-                else:
-                    i += 1  # unknown byte — skip
+        elif kind == "dopen":
+            yield ("op", "<<")
+        elif kind == "dclose":
+            yield ("op", ">>")
+        elif kind == "arr":
+            yield ("op", m.group(0).decode())
+        else:  # op
+            yield ("op", m.group(0).decode("latin-1"))
 
 
 def _spans_from_stream(stream: bytes) -> list[tuple[float, float, float, str]]:
@@ -263,11 +275,13 @@ _ARABIC_RE = re.compile(r"[؀-ۿݐ-ݿࢠ-ࣿﭐ-﷿ﹰ-﻿]")
 
 def is_rtl_text(text: str) -> bool:
     """True when the text's letters are majority-Arabic (RTL layout)."""
-    letters = [c for c in text if c.isalpha()]
+    if not _ARABIC_RE.search(text):  # fast C-scan exit for the common case
+        return False
+    letters = sum(1 for c in text if c.isalpha())
     if not letters:
         return False
-    arabic = sum(1 for c in letters if _ARABIC_RE.match(c))
-    return arabic * 2 > len(letters)
+    arabic = sum(1 for c in _ARABIC_RE.findall(text) if c.isalpha())
+    return arabic * 2 > letters
 
 
 def _cluster_lines(spans: list[tuple[float, float, float, str]]):
