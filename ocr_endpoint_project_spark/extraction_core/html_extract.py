@@ -126,8 +126,9 @@ def _keep(tag: str, text: str, density: float) -> bool:
     return len(text) >= MIN_BLOCK_CHARS and density <= MAX_LINK_DENSITY
 
 
-def extract_html_blocks(payload: bytes) -> list[tuple[str, str]]:
-    """Return the kept main-content blocks as ``(kind, text)`` pairs."""
+def extract_html_blocks_reference(payload: bytes) -> list[tuple[str, str]]:
+    """Stdlib-parser implementation — the parity reference for the fast
+    scanner (tests/test_html_fast_parity.py compares them on the corpus)."""
     html = payload.decode("utf-8", errors="replace")
     parser = _BlockParser()
     parser.feed(html)
@@ -139,6 +140,14 @@ def extract_html_blocks(payload: bytes) -> list[tuple[str, str]]:
             kind = KIND_HEADING if tag in HEADING_TAGS else KIND_PARAGRAPH
             out.append((kind, text))
     return out
+
+
+def extract_html_blocks(payload: bytes) -> list[tuple[str, str]]:
+    """Return the kept main-content blocks as ``(kind, text)`` pairs
+    (fast regex scanner; see html_fast.py)."""
+    from .html_fast import extract_html_blocks_fast
+
+    return extract_html_blocks_fast(payload)
 
 
 def extract_html(payload: bytes) -> tuple[str, list[tuple[int, int, str]]]:

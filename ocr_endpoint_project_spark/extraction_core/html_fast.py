@@ -1,0 +1,135 @@
+"""Fast HTML block scanner — regex tag stream instead of ``html.parser``.
+
+Produces byte-identical output to :mod:`html_extract`'s stdlib-parser
+implementation for the block model this engine defines (same drop sets,
+same flush points, same whitespace collapse, same scoring inputs); the
+stdlib path is kept as the parity reference and both are compared on the
+full synthetic corpus in ``tests/test_html_fast_parity.py``. ~3x faster
+on 10 KB pages, which matters because the HTML kernel is the hot path of
+the flagship job.
+
+Known deliberate simplifications vs html.parser (never hit by
+well-formed markup, guarded by the parity test): attribute values
+containing ``>`` end the tag early; entity decoding uses
+``html.unescape`` (HTML5 longest-match) on text nodes.
+"""
+
+from __future__ import annotations
+
+import re
+from html import unescape
+
+from .html_extract import (
+    BLOCK_TAGS,
+    CONTAINER_TAGS,
+    DROP_SUBTREE_TAGS,
+    HEADING_TAGS,
+    KIND_HEADING,
+    KIND_PARAGRAPH,
+    _keep,
+)
+
+_MARKUP_RE = re.compile(r"<!--.*?-->|<![^>]*>|</?[a-zA-Z][^>]*>?", re.S)
+_NAME_RE = re.compile(r"</?([a-zA-Z][a-zA-Z0-9-]*)")
+# script/style are CDATA-like in html.parser: content runs literally to
+# the close tag (template is NOT — it parses normally, so it stays on the
+# drop_depth path for parity)
+_RAWTEXT_CLOSE = {
+    t: re.compile(rf"</{t}\b[^>]*>", re.I) for t in ("script", "style")
+}
+
+
+def _collapse(s: str) -> str:
+    return " ".join(s.split())
+
+
+def extract_html_blocks_fast(payload: bytes) -> list[tuple[str, str]]:
+    html = payload.decode("utf-8", errors="replace")
+    blocks: list[tuple[str, str]] = []
+    fragments: list[str] = []
+    link_fragments: list[str] = []
+    block_tag = ""
+    drop_depth = 0
+    a_depth = 0
+
+    def flush() -> None:
+        nonlocal fragments, link_fragments, block_tag
+        text = _collapse("".join(fragments))
+        link_text = _collapse("".join(link_fragments))
+        tag = block_tag
+        fragments = []
+        link_fragments = []
+        block_tag = ""
+        if not text:
+            return
+        density = len(link_text) / len(text)
+        if _keep(tag, text, density):
+            kind = KIND_HEADING if tag in HEADING_TAGS else KIND_PARAGRAPH
+            blocks.append((kind, text))
+
+    def data(chunk: str) -> None:
+        if drop_depth or not chunk:
+            return
+        if "&" in chunk:
+            chunk = unescape(chunk)
+        fragments.append(chunk)
+        if a_depth:
+            link_fragments.append(chunk)
+
+    pos = 0
+    n = len(html)
+    search = _MARKUP_RE.search
+    while pos < n:
+        m = search(html, pos)
+        if m is None:
+            data(html[pos:])
+            break
+        if m.start() > pos:
+            data(html[pos : m.start()])
+        tag_src = m.group(0)
+        pos = m.end()
+        if tag_src[1] == "!":  # comment / doctype — no data, no state
+            continue
+        nm = _NAME_RE.match(tag_src)
+        if nm is None:
+            continue
+        name = nm.group(1).lower()
+        closing = tag_src[1] == "/"
+        self_closing = tag_src.endswith("/>") and not closing
+
+        if self_closing:
+            if name == "br" and not drop_depth:
+                fragments.append(" ")
+            continue
+        if closing:
+            if name in DROP_SUBTREE_TAGS:
+                drop_depth = max(0, drop_depth - 1)
+            elif drop_depth:
+                pass
+            elif name == "a":
+                a_depth = max(0, a_depth - 1)
+            elif name in BLOCK_TAGS or name in CONTAINER_TAGS:
+                flush()
+            continue
+        # start tag
+        if name in DROP_SUBTREE_TAGS:
+            if name in _RAWTEXT_CLOSE:
+                # raw-text element: skip content to its close tag directly
+                mm = _RAWTEXT_CLOSE[name].search(html, pos)
+                pos = mm.end() if mm else n
+            else:
+                drop_depth += 1
+            continue
+        if drop_depth:
+            continue
+        if name == "a":
+            a_depth += 1
+        elif name == "br":
+            fragments.append(" ")
+        elif name in BLOCK_TAGS:
+            flush()
+            block_tag = name
+        elif name in CONTAINER_TAGS:
+            flush()
+    flush()
+    return blocks
