@@ -64,7 +64,9 @@ def extract_batch(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "warc_ts": batch["warc_ts"] if "warc_ts" in batch else pd.Series([None] * n),
             "lang": batch["lang"] if "lang" in batch else pd.Series([None] * n),
             "extracted_text": [],
-            "spans": [],
+            "span_starts": [],
+            "span_ends": [],
+            "span_kinds": [],
             "n_pages": [],
             "n_chars": [],
             "doc_kind": [],
@@ -77,9 +79,9 @@ def extract_batch(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             raw = bytes(payload) if payload is not None else None
             res = extract_document(raw)
             out["extracted_text"].append(res.extracted_text)
-            out["spans"].append(
-                [{"start": s, "end": e, "kind": k} for s, e, k in res.spans]
-            )
+            out["span_starts"].append([s for s, _, _ in res.spans])
+            out["span_ends"].append([e for _, e, _ in res.spans])
+            out["span_kinds"].append([k for _, _, k in res.spans])
             out["n_pages"].append(res.n_pages)
             out["n_chars"].append(len(res.extracted_text))
             out["doc_kind"].append(res.doc_kind)

@@ -1,0 +1,54 @@
+"""Integration: the flagship job via real ``spark-submit`` (north rule:
+"run via spark-submit --py-files"), including a resumed second run."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_spark_submit_extract_job(spark, tmp_path):
+    in_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    from ocr_endpoint_project_spark.sources.pages import corpus_pages
+
+    corpus_pages(spark, n=50, seed=42).write.parquet(in_dir)
+
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable)
+    cmd = [
+        "spark-submit",
+        "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        os.path.join(REPO, "jobs", "extract_job.py"),
+        "--input", in_dir,
+        "--output", out_dir,
+        "--partitions", "8",
+        "--run-id", "submit-1",
+        "--quarantine",
+    ]
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=300, env=env, cwd=REPO)
+    assert res.returncode == 0, res.stderr[-2000:]
+    stats = json.loads([l for l in res.stdout.splitlines() if l.startswith("{")][-1])
+    assert stats["run_id"] == "submit-1"
+    assert stats["resumed_partitions_skipped"] == 0
+
+    # resumed run: everything already done
+    res2 = subprocess.run(
+        cmd[:-3] + ["--run-id", "submit-2", "--quarantine"],
+        capture_output=True, text=True, timeout=300, env=env, cwd=REPO,
+    )
+    assert res2.returncode == 0, res2.stderr[-2000:]
+    stats2 = json.loads([l for l in res2.stdout.splitlines() if l.startswith("{")][-1])
+    assert stats2["resumed_partitions_skipped"] == stats["partitions_total"]
+
+    out = spark.read.parquet(os.path.join(out_dir, "extracted"))
+    quarantined = spark.read.parquet(os.path.join(out_dir, "quarantine"))
+    assert out.count() + quarantined.count() == 50
