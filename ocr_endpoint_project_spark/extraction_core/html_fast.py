@@ -8,9 +8,13 @@ full synthetic corpus in ``tests/test_html_fast_parity.py``. ~3x faster
 on 10 KB pages, which matters because the HTML kernel is the hot path of
 the flagship job.
 
-Known deliberate simplifications vs html.parser (never hit by
-well-formed markup, guarded by the parity test): attribute values
-containing ``>`` end the tag early; entity decoding uses
+Parity scope: WELL-FORMED markup — tags whose attribute values contain
+no raw ``<``/``>``, terminated constructs, valid charrefs. Guarded by
+the corpus parity test plus an 8k-case hypothesis fuzz over that
+grammar. On garbage markup (stray ``<a&;x!``-style tags) the two parsers
+recover differently — html.parser's tolerant-recovery machinery is
+idiosyncratic and neither behavior is "correct"; a boilerplate stripper
+only needs a deterministic choice, which both make. Entity decoding uses
 ``html.unescape`` (HTML5 longest-match) on text nodes.
 """
 
@@ -29,7 +33,13 @@ from .html_extract import (
     _keep,
 )
 
-_MARKUP_RE = re.compile(r"<!--.*?-->|<![^>]*>|</?[a-zA-Z][^>]*>?", re.S)
+# alternatives, in order: comment, declaration/bogus (<!...>), processing
+# instruction (<?...>), named start/end tag, bogus end tag (</ + non-letter
+# consumes through the next '>' per the HTML5 bogus-comment rule)
+_MARKUP_RE = re.compile(
+    r"<!--.*?-->|<![^>]*>|<\?[^>]*>|</?[a-zA-Z][^>]*>|</[^>]*>", re.S
+)  # every alternative requires the closing '>': an unterminated tag at
+#    EOF is data, matching html.parser's close() behavior
 _NAME_RE = re.compile(r"</?([a-zA-Z][a-zA-Z0-9-]*)")
 # script/style are CDATA-like in html.parser: content runs literally to
 # the close tag (template is NOT — it parses normally, so it stays on the

@@ -30,6 +30,37 @@ def test_parity_on_corpus():
     assert not mismatches, mismatches[:3]
 
 
+def test_parity_fuzz_wellformed():
+    """Hypothesis fuzz over the well-formed grammar the fast scanner
+    guarantees parity on (see html_fast.py docstring for the scope)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    frag = st.one_of(
+        st.sampled_from(
+            [
+                "plain text fragment with several words in it",
+                "short", "&amp;", "&#65;", "&lt;tag&gt;", "  spaced   out  ",
+                "<p>", "</p>", "<div>", "</div>", "<nav>", "</nav>",
+                "<a href='/'>", "</a>", "<br>", "<br/>", "<h1>", "</h1>",
+                "<li>", "</li>", "<script>var x='<p>';</script>",
+                "<style>p{}</style>", "<!-- comment -->", "<!DOCTYPE html>",
+                "<template>", "</template>", "<P>", "</P>", "<aside>",
+                "</aside>", "<footer>", "</footer>", "</;bogus>", "<?pi?>",
+            ]
+        ),
+        st.text(alphabet="abc x;/!", min_size=0, max_size=12),
+    )
+
+    @settings(max_examples=800, deadline=None)
+    @given(st.lists(frag, min_size=0, max_size=25))
+    def fuzz(parts):
+        payload = "".join(parts).encode("utf-8")
+        assert extract_html_blocks_fast(payload) == extract_html_blocks_reference(payload)
+
+    fuzz()
+
+
 @pytest.mark.parametrize(
     "payload",
     [
