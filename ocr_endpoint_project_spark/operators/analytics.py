@@ -776,6 +776,106 @@ FROM j
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q3-style: shipping-priority top-k — fact ⋈ fact sort-merge with a
+# broadcast dim filter, group, then TakeOrdered (the classic mixed-join plan)
+# ---------------------------------------------------------------------------
+
+def q_shipping_priority(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_spread(spark, f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < F.lit("2000-06-01")
+    )
+    li = read_spread(spark, f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > F.lit("2000-06-01")
+    )
+    revenue_c = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+    out = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue_c).alias("rc"))
+        .select(
+            "l_orderkey",
+            r4(F.col("rc") / 10000.0).alias("revenue"),
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+    return out
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey,
+       floor((rc / 10000.0) * 10000 + 0.5) / 10000 AS revenue,
+       CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_orderpriority
+FROM (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         sum(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)) AS rc
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '2000-06-01'
+    AND l_shipdate > TIMESTAMP '2000-06-01'
+  GROUP BY 1, 2, 3
+)
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5-style: local-supplier revenue by nation — the full dim chain
+# region -> nation -> (customer, supplier) with the co-nation constraint
+# ---------------------------------------------------------------------------
+
+def q_local_supplier_revenue(spark, sf_dir):
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    orders = read_spread(spark, f"{sf_dir}/orders.parquet")
+    li = read_spread(spark, f"{sf_dir}/lineitem.parquet")
+    revenue_c = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+    out = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(revenue_c).alias("rc"), F.count(F.lit(1)).alias("n_items"))
+        .select(
+            "r_name", "n_name", r4(F.col("rc") / 10000.0).alias("revenue"), "n_items"
+        )
+    )
+    return out
+
+
+SQL_LOCAL_SUPPLIER = """
+SELECT r_name, n_name,
+       floor((rc / 10000.0) * 10000 + 0.5) / 10000 AS revenue, n_items
+FROM (
+  SELECT r_name, n_name,
+         sum(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)) AS rc,
+         count(*) AS n_items
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+"""
+
+
 QUERIES = {
     "agg_per_model_summary": q_per_model_summary,
     "agg_error_mask": q_error_mask_agg,
@@ -796,6 +896,8 @@ QUERIES = {
     "rank_criteria_winners": q_criteria_winners,
     "rank_condorcet_detail": q_condorcet_detail,
     "rank_pairwise_verdict": q_pairwise_verdict,
+    "tpch_shipping_priority": q_shipping_priority,
+    "tpch_local_supplier_revenue": q_local_supplier_revenue,
 }
 
 ORACLES = {
@@ -818,4 +920,6 @@ ORACLES = {
     "rank_criteria_winners": SQL_CRITERIA_WINNERS,
     "rank_condorcet_detail": SQL_CONDORCET_DETAIL,
     "rank_pairwise_verdict": SQL_PAIRWISE_VERDICT,
+    "tpch_shipping_priority": SQL_SHIPPING_PRIORITY,
+    "tpch_local_supplier_revenue": SQL_LOCAL_SUPPLIER,
 }
