@@ -293,9 +293,9 @@ SQL_SIMHASH = f"""
 WITH toks AS (SELECT doc_id, {_sql_tokens()} AS t FROM documents),
 hs AS (SELECT doc_id, list_transform(t, t -> {_H}) AS hs FROM toks WHERE len(t) > 0)
 SELECT doc_id,
-       list_sum(list_transform(range(0, {SIMHASH_BITS}), i ->
+       CAST(list_sum(list_transform(range(0, {SIMHASH_BITS}), i ->
          CASE WHEN len(list_filter(hs, h -> (h >> i) & 1 = 1)) * 2 > len(hs)
-              THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS simhash
+              THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS simhash
 FROM hs
 """
 

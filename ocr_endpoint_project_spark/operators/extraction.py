@@ -20,7 +20,7 @@ from ..functions.kernels import (
     word_metrics_udf,
 )
 from ._io import read_spread
-from ..functions.text import r4
+from ..functions.text import SQL_CER, SQL_NORM_TOKENS, r4, sql_r4
 from ..pipeline.extract import run_extraction
 from ..sources.pages import pages_from_documents
 
@@ -129,9 +129,12 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
-# WER / word-metrics kernel (M4/M6) — token-level DP, genuinely not
-# SQL-expressible (no token-level edit distance in DuckDB): rows-only.
-# Python-vs-Python parity is covered in tests/test_text_metrics.py.
+# WER / word-metrics kernel (M4/M6) with an exact DuckDB oracle via the
+# token->codepoint trick: map each distinct token to a single ASCII char
+# (per-doc vocab is <=~70 << 94 printable codes; DuckDB's levenshtein is
+# BYTE-based, so codes must stay single-byte) and run the built-in
+# levenshtein on the mapped strings = token-level edit distance.
+# Python-vs-Python parity is additionally covered in tests/test_text_metrics.py.
 # ---------------------------------------------------------------------------
 
 def q_word_metrics_kernel(spark, sf_dir):
@@ -167,10 +170,57 @@ QUERIES = {
     "token_wer_kernel": q_token_wer,
 }
 
+_SQL_PRED = "regexp_replace(text, 'batch', 'match', 'g')"
+_SQL_GT_TOKS = SQL_NORM_TOKENS.format(col="text")
+_SQL_PRED_TOKS = SQL_NORM_TOKENS.format(col=_SQL_PRED)
+
+# shared CTE: token lists + single-byte-mapped strings for levenshtein
+_SQL_WER_CTES = f"""
+WITH toks AS (
+  SELECT doc_id, text AS gt, {_SQL_PRED} AS pred,
+         {_SQL_GT_TOKS} AS gt_t, {_SQL_PRED_TOKS} AS pred_t
+  FROM documents
+), mapped AS (
+  SELECT *, list_sort(list_distinct(list_concat(gt_t, pred_t))) AS vocab FROM toks
+), strs AS (
+  SELECT doc_id, gt, pred, gt_t, pred_t, len(gt_t) AS n_gt,
+         array_to_string(list_transform(gt_t,
+             t -> chr(33 + list_position(vocab, t))), '') AS gs,
+         array_to_string(list_transform(pred_t,
+             t -> chr(33 + list_position(vocab, t))), '') AS ps
+  FROM mapped
+)
+"""
+
+_SQL_WER_EXPR = (
+    "CASE WHEN n_gt = 0 THEN 0.0 ELSE "
+    + sql_r4("CAST(levenshtein(gs, ps) AS DOUBLE) / n_gt * 100.0")
+    + " END"
+)
+
+SQL_TOKEN_WER = f"""
+{_SQL_WER_CTES}
+SELECT doc_id, {_SQL_WER_EXPR} AS wer_pct FROM strs
+"""
+
+SQL_WORD_METRICS = f"""
+{_SQL_WER_CTES}
+SELECT doc_id,
+       CASE WHEN n_gt = 0 THEN 100.0 ELSE
+         {sql_r4("len(list_filter(gt_t, w -> list_contains(pred_t, w))) / n_gt * 100.0")}
+       END AS accuracy_pct,
+       CAST(n_gt AS BIGINT) AS total_gt_words,
+       {_SQL_WER_EXPR} AS wer_pct,
+       {sql_r4(SQL_CER.format(gt="gt", pred="pred"))} AS cer_pct,
+       CAST(len(list_distinct(list_filter(gt_t, w -> NOT list_contains(pred_t, w))))
+            AS BIGINT) AS n_missing
+FROM strs
+"""
+
 ORACLES = {
     "extract_roundtrip": SQL_EXTRACT_ROUNDTRIP,
     "sections_parse": SQL_SECTIONS_PARSE,
     "json_recovery": SQL_JSON_RECOVERY,
-    # word_metrics_kernel / token_wer_kernel: token-level edit distance is
-    # not SQL-expressible -> rows-only checks (documented driver contract)
+    "word_metrics_kernel": SQL_WORD_METRICS,
+    "token_wer_kernel": SQL_TOKEN_WER,
 }

@@ -67,7 +67,24 @@ def check(only: list[str], sf_dir: str = SF_DIR, spark=None) -> list[str]:
             ok_cols = sorted(s_cols) == sorted(d_cols)
             ok_count = len(s_rows) == len(d_rows)
             ok_vals = ok_cols and ok_count and norm_rows(s_cols, s_rows) == norm_rows(d_cols, d_rows)
-            status = "OK" if (ok_cols and ok_count and ok_vals) else "FAIL"
+            # the driver's value-hash is pandas-dtype-sensitive: DuckDB HUGEINT
+            # (sum of ints) lands as object/float where Spark gives int64, and
+            # the hashes diverge even with equal values — compare dtypes too
+            ok_types = True
+            if ok_cols:
+                s_pd = sdf.toPandas()
+                d_pd = rel.df()
+                # int width doesn't matter to the driver (int32 row_number vs
+                # BIGINT hashed equal in r1); kind does (int vs float/object)
+                def kind(dt):
+                    s = str(dt)
+                    return "int" if s.startswith(("int", "uint")) else s
+                for c in s_cols:
+                    sd, dd = kind(s_pd[c].dtype), kind(d_pd[c].dtype)
+                    if sd != dd:
+                        ok_types = False
+                        print(f"    dtype mismatch on {c}: spark={sd} duck={dd}")
+            status = "OK" if (ok_cols and ok_count and ok_vals and ok_types) else "FAIL"
             print(
                 f"  {name}: {status} spark={len(s_rows)} duck={len(d_rows)} "
                 f"cols={'=' if ok_cols else f'{sorted(s_cols)} vs {sorted(d_cols)}'}"
