@@ -7,9 +7,27 @@ string in ``ORACLES`` with IDENTICAL output column names — the driver's
 correctness gate compares them value-by-value at sf0.01.
 """
 
-from . import analytics, dedup, doc_embed, extraction, multimodal, similarity, textstats
+from . import (
+    analytics,
+    cluster,
+    dedup,
+    doc_embed,
+    extraction,
+    multimodal,
+    similarity,
+    textstats,
+)
 
-_MODULES = (analytics, dedup, doc_embed, extraction, multimodal, similarity, textstats)
+_MODULES = (
+    analytics,
+    cluster,
+    dedup,
+    doc_embed,
+    extraction,
+    multimodal,
+    similarity,
+    textstats,
+)
 
 
 def all_queries() -> dict:

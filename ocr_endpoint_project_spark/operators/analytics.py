@@ -503,18 +503,31 @@ FROM with_best GROUP BY event_type
 # ---------------------------------------------------------------------------
 
 def q_pricing_summary(spark, sf_dir):
+    # exact-sum discipline (functions/text.py): aggregate integer
+    # cents/bp, divide once at the end — mirrors the oracle term-for-term
+    # so partition-order float summation can never flip the 4th decimal
     li = read_spread(spark, f"{sf_dir}/lineitem.parquet")
-    return (
+    disc_price = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+    agg = (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            r4(F.sum("l_quantity")).alias("sum_qty"),
-            r4(F.sum("l_extendedprice")).alias("sum_base_price"),
-            r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
-            r4(F.avg("l_quantity")).alias("avg_qty"),
-            r4(F.avg("l_discount")).alias("avg_disc"),
+            F.sum("l_quantity").alias("sq"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("sbp_c"),
+            F.sum(disc_price).alias("sdp_c"),
+            F.sum(cents(F.col("l_discount"), 10000)).alias("sd_c"),
             F.count(F.lit(1)).alias("count_order"),
         )
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        r4(F.col("sq")).alias("sum_qty"),
+        r4(F.col("sbp_c") / 100.0).alias("sum_base_price"),
+        r4(F.col("sdp_c") / 10000.0).alias("sum_disc_price"),
+        r4(F.col("sq") / (1.0 * F.col("count_order"))).alias("avg_qty"),
+        r4(F.col("sd_c") / (10000.0 * F.col("count_order"))).alias("avg_disc"),
+        "count_order",
     )
 
 

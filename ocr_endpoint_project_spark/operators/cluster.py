@@ -1,0 +1,197 @@
+"""Dedup cluster resolution: candidate pairs -> connected components ->
+keeper per cluster, plus the SimHash banded-Hamming pairing that completes
+the simhash path from signature to candidate pairs.
+
+This is the step the reference's latest-snapshot idiom
+(scripts/export_benchmark_results.py:47-56) generalizes to: where the
+reference keeps one "best" row per single key, a dedup pipeline keeps one
+keeper per *connected component* of the near-dup pair graph.
+
+Scale design:
+* Connected components run as iterative min-label propagation — each
+  round is one (edges join labels) shuffle keyed by doc_id with map-side
+  partial min, plus a cheap convergence agg. Near-dup clusters have tiny
+  diameter (duplicates of one document), so rounds ~= 2-3 in practice;
+  the loop localCheckpoints each round to truncate lineage so the plan
+  does not grow with iterations. At 10^12 docs each round is a standard
+  keyed shuffle — no driver-side state beyond one converged flag.
+* SimHash banding: 4 bands x 7 bits of the 28-bit signature; with the
+  pigeonhole bound, every pair within Hamming distance <= 3 shares at
+  least one clean band, so the band-equality join has perfect recall at
+  the verify threshold while bounding the candidate space (no all-pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ._io import read_spread
+from .dedup import (
+    SIMHASH_BITS,
+    SQL_MINHASH_LSH,
+    SQL_SIMHASH,
+    q_minhash_lsh_pairs,
+    q_simhash,
+)
+
+# max label-propagation rounds: near-dup components are shallow; 16 rounds
+# covers a path graph of 2^16 docs under doubling-style propagation and the
+# loop exits early on convergence anyway
+MAX_CC_ROUNDS = 16
+
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 7
+HAMMING_K = 3  # recall-complete with 4 bands (pigeonhole: <=3 flips -> >=1 clean band)
+
+
+def connected_components(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+    """Min-label propagation over an undirected edge list.
+
+    ``vertices``: one column ``doc_id``; ``edges``: columns ``src``/``dst``
+    (already symmetrized). Returns (doc_id, cluster_id) where cluster_id is
+    the component's minimum doc_id. Each round: neighbor-min join + a
+    monotone convergence check (sum of labels strictly decreases until
+    fixpoint — one cheap agg, no full old-vs-new join).
+    """
+    labels = vertices.select("doc_id", F.col("doc_id").alias("lab")).localCheckpoint()
+    prev_sum = labels.agg(F.sum("lab")).collect()[0][0] or 0
+    for _ in range(MAX_CC_ROUNDS):
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("lab").alias("nlab"))
+        )
+        labels = (
+            labels.join(neigh, labels["doc_id"] == neigh["src"], "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias("lab"),
+            )
+            .localCheckpoint()  # truncate lineage: plan stays O(1) per round
+        )
+        cur_sum = labels.agg(F.sum("lab")).collect()[0][0] or 0
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("doc_id", F.col("lab").alias("cluster_id"))
+
+
+def q_cluster_keeper(spark, sf_dir):
+    """MinHash-LSH verified pairs -> connected components -> keeper.
+
+    Keeper = min(doc_id) per component (== cluster_id by construction);
+    singleton docs keep themselves. The downstream dedup filter is simply
+    ``WHERE is_keeper``.
+    """
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet").select("doc_id")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst")
+    labs = connected_components(docs, edges)
+    w = Window.partitionBy("cluster_id")
+    return labs.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+
+
+SQL_CLUSTER_KEEPER = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({SQL_MINHASH_LSH})
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+), reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+), labs AS (
+  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+)
+SELECT doc_id, cluster_id, doc_id = cluster_id AS is_keeper,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM labs
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash banded-Hamming candidate pairs (completes the simhash dedup path)
+# ---------------------------------------------------------------------------
+
+def q_simhash_pairs(spark, sf_dir):
+    sig = q_simhash(spark, sf_dir)
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_id"),
+                        (
+                            F.shiftright(F.col("simhash"), bi * SIMHASH_BAND_BITS)
+                            .bitwiseAND(F.lit(mask))
+                        ).alias("band_key"),
+                    )
+                    for bi in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_id", "band.band_key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= HAMMING_K)
+    )
+
+
+SQL_SIMHASH_PAIRS = f"""
+WITH sig AS ({SQL_SIMHASH}),
+bands AS (
+  SELECT doc_id, simhash, unnest(range(0, {SIMHASH_BANDS})) AS band_id FROM sig
+), keyed AS (
+  SELECT doc_id, simhash, band_id,
+         (simhash >> (band_id * {SIMHASH_BAND_BITS})) & {(1 << SIMHASH_BAND_BITS) - 1} AS band_key
+  FROM bands
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM keyed a JOIN keyed b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {HAMMING_K}
+"""
+
+
+QUERIES = {
+    "dedup_cluster_keeper": q_cluster_keeper,
+    "dedup_simhash_pairs": q_simhash_pairs,
+}
+
+ORACLES = {
+    "dedup_cluster_keeper": SQL_CLUSTER_KEEPER,
+    "dedup_simhash_pairs": SQL_SIMHASH_PAIRS,
+}

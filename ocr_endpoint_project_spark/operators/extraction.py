@@ -162,12 +162,38 @@ def q_token_wer(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# O8 cost accounting: per-(kind,status) wall-clock-free cost rollup.
+# cost_usd = n_pages * $0.002 (ocr_common.py:345-346), emitted as a
+# Catalyst column by run_extraction; the rollup multiplies the EXACT
+# integer page sum once, so both engines produce the identical double.
+# ---------------------------------------------------------------------------
+
+def q_extract_cost_summary(spark, sf_dir):
+    pages = pages_from_documents(spark, sf_dir)
+    extracted = run_extraction(pages, num_partitions=16)
+    return extracted.groupBy("doc_kind", "status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_pages").alias("total_pages"),
+        (F.sum("n_pages") * F.lit(0.002)).alias("total_cost_usd"),
+    )
+
+
+SQL_EXTRACT_COST = """
+SELECT 'html' AS doc_kind, 'succeeded' AS status,
+       count(*) AS n_docs, count(*) AS total_pages,
+       count(*) * CAST(0.002 AS DOUBLE) AS total_cost_usd
+FROM documents
+"""
+
+
 QUERIES = {
     "extract_roundtrip": q_extract_roundtrip,
     "sections_parse": q_sections_parse,
     "json_recovery": q_json_recovery,
     "word_metrics_kernel": q_word_metrics_kernel,
     "token_wer_kernel": q_token_wer,
+    "extract_cost_summary": q_extract_cost_summary,
 }
 
 _SQL_PRED = "regexp_replace(text, 'batch', 'match', 'g')"
@@ -223,4 +249,5 @@ ORACLES = {
     "json_recovery": SQL_JSON_RECOVERY,
     "word_metrics_kernel": SQL_WORD_METRICS,
     "token_wer_kernel": SQL_TOKEN_WER,
+    "extract_cost_summary": SQL_EXTRACT_COST,
 }

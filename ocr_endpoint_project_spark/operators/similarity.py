@@ -1,13 +1,21 @@
 """Similarity search over the embeddings table: brute-force cosine top-k
-(the exactness baseline) and an IVF-style bucketed variant (the scale
-path: restrict candidates to the query's cell, here the ``label`` column
-standing in for a nearest-centroid assignment).
+(the exactness baseline) and a real IVF index — train centroids (one per
+label cluster), assign every vector to its nearest centroid by quantized
+L2 distance, then restrict candidate scans to the query's assigned cell.
 
 Scale design: queries are broadcast (Q << N); per-candidate-partition
 partial top-k happens inside the window's sort (rank over qid), so N
-candidates are scanned once with no all-pairs shuffle. The IVF variant
-cuts the scan to one cell — at 10^12 vectors that's the only viable shape,
-with the brute-force op kept as the recall oracle on samples.
+candidates are scanned once with no all-pairs shuffle. Assignment is a
+broadcast nested-loop against the (tiny) centroid table — O(N * k_cells)
+map-side work, no shuffle. The IVF variant cuts the scan to one cell — at
+10^12 vectors that's the only viable shape, with the brute-force op kept
+as the recall oracle on samples.
+
+Engine-exact arithmetic: the assignment must argmin identically in Spark
+and DuckDB, so distances are computed over QUANTIZED values (embedding ->
+1e-3 ints, centroid mean -> 1e-4 ints via one IEEE division both engines
+perform bit-identically). All distance sums are integer — exact in any
+summation order — so the nearest cell is deterministic across engines.
 """
 
 from __future__ import annotations
@@ -17,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ._io import read_spread
 from ..functions.text import r4
-from .dedup import cosine_expr
+from .dedup import COSINE_DUP_THRESHOLD, cosine_expr
 
 TOP_K = 5
 N_QUERIES = 10
@@ -25,6 +33,106 @@ N_QUERIES = 10
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_spread(spark, f"{sf_dir}/embeddings.parquet")
+
+
+def _quant(col):
+    """embedding floats -> 1e-3-scaled exact integers (|x| < ~30 => < 2^53)."""
+    return F.transform(col, lambda x: F.floor(x.cast("double") * 1000.0 + 0.5).cast("long"))
+
+
+def ivf_centroids(emb: DataFrame) -> DataFrame:
+    """Train half: per-cell quantized mean vector (cell, centroid_q).
+
+    Integer numerators (sum of 1e-3-quantized components) keep the mean
+    exact up to one engine-identical IEEE division; the result is stored
+    at 1e-4 scale so assignment distances stay in exact int64.
+    """
+    dims = emb.select(
+        F.col("label").alias("cell"),
+        F.posexplode(_quant(F.col("embedding"))).alias("dim", "eq"),
+    )
+    per = dims.groupBy("cell", "dim").agg(
+        F.sum("eq").alias("c_num"), F.count(F.lit(1)).alias("n")
+    )
+    cq = per.select(
+        "cell",
+        "dim",
+        F.floor(F.col("c_num") * 10.0 / F.col("n") + 0.5).cast("long").alias("cq"),
+    )
+    return cq.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cq"))), lambda s: s["cq"]
+        ).alias("centroid_q")
+    )
+
+
+def ivf_assign(emb: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest centroid (argmin quantized L2).
+
+    Returns (vec_id, embedding, cell, dist_q). Broadcast nested-loop over
+    the k-cell centroid table, then a per-vector argmin window — the
+    standard IVF assignment shape, O(N*k) map-side flops and one window.
+    """
+    cent = ivf_centroids(emb)
+    vq = emb.select("vec_id", "embedding", _quant(F.col("embedding")).alias("eq"))
+    dist = F.aggregate(
+        F.zip_with("eq", "centroid_q", lambda x, c: (x * 10 - c) * (x * 10 - c)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = vq.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "cell", dist.alias("dist_q")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist_q"), F.asc("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# DuckDB twin of ivf_assign: quantize -> per-(cell,dim) exact sums ->
+# quantized centroid -> integer L2 per (vec, cell) -> argmin
+SQL_IVF_ASSIGN_CTES = """
+WITH vq AS (
+  SELECT vec_id, embedding, label,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS eq
+  FROM embeddings
+), dims AS (
+  SELECT label AS cell, unnest(eq) AS eqv, unnest(range(0, len(eq))) AS dim FROM vq
+), per AS (
+  SELECT cell, dim, CAST(sum(eqv) AS BIGINT) AS c_num, count(*) AS n
+  FROM dims GROUP BY 1, 2
+), cent AS (
+  SELECT cell,
+         list(CAST(floor(c_num * 10.0 / n + 0.5) AS BIGINT) ORDER BY dim) AS centroid_q
+  FROM per GROUP BY cell
+), scored AS (
+  SELECT v.vec_id, v.embedding, c.cell,
+         CAST(list_sum(list_transform(range(0, len(v.eq)),
+             i -> (v.eq[i + 1] * 10 - c.centroid_q[i + 1])
+                * (v.eq[i + 1] * 10 - c.centroid_q[i + 1]))) AS BIGINT) AS dist_q
+  FROM vq v CROSS JOIN cent c
+), assigned AS (
+  SELECT vec_id, embedding, cell, dist_q FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist_q ASC, cell ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+"""
+
+
+def q_ann_ivf_assign(spark, sf_dir):
+    """The assignment itself as a checkable query (vec_id -> cell)."""
+    return ivf_assign(_emb(spark, sf_dir)).select("vec_id", "cell", "dist_q")
+
+
+SQL_ANN_IVF_ASSIGN = f"""
+{SQL_IVF_ASSIGN_CTES}
+SELECT vec_id, cell, dist_q FROM assigned
+"""
 
 
 def q_ann_bruteforce_topk(spark, sf_dir):
@@ -66,16 +174,17 @@ FROM (
 
 
 def q_ann_ivf_bucketed(spark, sf_dir):
-    """IVF-style: candidates restricted to the query's cell (label)."""
-    emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+    """IVF search: candidates restricted to the query's ASSIGNED cell
+    (nearest centroid by quantized L2, not the raw label column)."""
+    assigned = ivf_assign(_emb(spark, sf_dir))
+    queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
-        F.col("label").alias("cell"),
+        F.col("cell"),
         F.col("embedding").alias("q_emb"),
     )
-    cand = emb.select(
+    cand = assigned.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("c_cell"),
+        F.col("cell").alias("c_cell"),
         F.col("embedding").alias("c_emb"),
     )
     scored = (
@@ -99,18 +208,55 @@ def q_ann_ivf_bucketed(spark, sf_dir):
 
 
 SQL_ANN_IVF = f"""
-WITH scored AS (
-  SELECT q.vec_id AS query_id, q.label AS cell, c.vec_id AS neighbor_id,
+{SQL_IVF_ASSIGN_CTES},
+qc_scored AS (
+  SELECT q.vec_id AS query_id, q.cell, c.vec_id AS neighbor_id,
          floor((list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])) * 10000 + 0.5) / 10000 AS cosine
-  FROM embeddings q JOIN embeddings c ON q.label = c.label AND q.vec_id != c.vec_id
+  FROM assigned q JOIN assigned c ON q.cell = c.cell AND q.vec_id != c.vec_id
   WHERE q.vec_id < {N_QUERIES}
 )
 SELECT query_id, cell, rank, neighbor_id, cosine
 FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cosine DESC, neighbor_id ASC) AS rank
-  FROM scored
+  FROM qc_scored
 ) WHERE rank <= {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# scale-safe embedding near-dup pairs: compare only within the assigned
+# IVF cell — kills the all-pairs self-join (dedup.py keeps the exact
+# all-pairs op as the small-sample recall oracle)
+# ---------------------------------------------------------------------------
+
+def q_embedding_dup_bucketed(spark, sf_dir):
+    assigned = ivf_assign(_emb(spark, sf_dir)).select("vec_id", "cell", "embedding")
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.cell").alias("cell"),
+            r4(cosine_expr(F.col("a.embedding"), F.col("b.embedding"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )
+
+
+SQL_EMBEDDING_DUP_BUCKETED = f"""
+{SQL_IVF_ASSIGN_CTES}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell AS cell,
+       floor((list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) * 10000 + 0.5) / 10000 AS cosine
+FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE floor((list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) * 10000 + 0.5) / 10000
+      >= {COSINE_DUP_THRESHOLD}
 """
 
 
@@ -139,12 +285,16 @@ GROUP BY 1, 2
 
 QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
+    "ann_ivf_assign": q_ann_ivf_assign,
     "ann_ivf_bucketed": q_ann_ivf_bucketed,
     "ann_centroid_per_cell": q_centroid_per_cell,
+    "dedup_embedding_pairs_bucketed": q_embedding_dup_bucketed,
 }
 
 ORACLES = {
     "ann_bruteforce_topk": SQL_ANN_BRUTEFORCE,
+    "ann_ivf_assign": SQL_ANN_IVF_ASSIGN,
     "ann_ivf_bucketed": SQL_ANN_IVF,
     "ann_centroid_per_cell": SQL_CENTROID,
+    "dedup_embedding_pairs_bucketed": SQL_EMBEDDING_DUP_BUCKETED,
 }

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..functions.kernels import word_metrics_udf
 from ..functions.text import cer_expr
-from ..pipeline.extract import run_extraction
+from ..pipeline.extract import COST_PER_PAGE_USD, run_extraction
 
 RAW_SCHEMA = "url string, extracted_text string, status string"
 
@@ -65,7 +65,14 @@ def run_model_benchmark(pages: DataFrame, num_partitions: int = 32) -> DataFrame
 
     structured = (
         run_extraction(pages, num_partitions=num_partitions)
-        .select("url", "extracted_text", "status", "error")
+        .select(
+            "url",
+            "extracted_text",
+            "status",
+            "error",
+            (F.col("elapsed_ms") / 1000.0).alias("time_seconds"),
+            "cost_usd",
+        )
         .withColumn("model_name", F.lit("structured"))
     )
     raw = (
@@ -74,6 +81,10 @@ def run_model_benchmark(pages: DataFrame, num_partitions: int = 32) -> DataFrame
         .mapInPandas(_raw_text_batch, RAW_SCHEMA)
         .withColumn("model_name", F.lit("raw_text"))
         .withColumn("error", F.lit(None).cast("string"))
+        .withColumn("time_seconds", F.lit(0.0))
+        # the raw baseline emits single-page text (pricing parity with the
+        # reference's per-page cost, ocr_common.py:345-346)
+        .withColumn("cost_usd", F.lit(COST_PER_PAGE_USD))
     )
     runs = structured.unionByName(raw)
 
@@ -88,6 +99,8 @@ def run_model_benchmark(pages: DataFrame, num_partitions: int = 32) -> DataFrame
         F.col("m.wer_pct").alias("wer_pct"),
         F.col("m.layout_accuracy_pct").alias("layout_accuracy_pct"),
         F.col("m.accuracy_pct").alias("accuracy_pct"),
+        "time_seconds",
+        "cost_usd",
         "status",
         "error",
         F.current_timestamp().alias("run_at"),
@@ -104,5 +117,7 @@ def per_model_summary(results: DataFrame) -> DataFrame:
         F.avg("wer_pct").alias("avg_wer_pct"),
         F.avg("layout_accuracy_pct").alias("avg_layout_pct"),
         F.avg("accuracy_pct").alias("avg_word_accuracy_pct"),
+        F.avg("time_seconds").alias("avg_time_seconds"),
+        F.sum("cost_usd").alias("total_cost_usd"),
         F.count(F.lit(1)).alias("n_docs"),
     )

@@ -28,6 +28,9 @@ from ..schemas import EXTRACTED_SCHEMA
 
 DEFAULT_PARTITIONS = 64
 
+# per-page processing cost (reference pricing model, ocr_common.py:345-346)
+COST_PER_PAGE_USD = 0.002
+
 
 def salted_pages(
     pages: DataFrame, num_partitions: int = DEFAULT_PARTITIONS, salt_buckets: int = 1
@@ -71,4 +74,9 @@ def run_extraction(
     extracted = df.select("url", "warc_ts", "lang", "html", "partition_id").mapInPandas(
         extract_batch, EXTRACTED_SCHEMA
     )
-    return extracted
+    # O8 cost accounting (reference: ocr_common.py:345-346, cost = pages *
+    # $0.002) — a Catalyst column, not kernel Python: the cost model is
+    # pure arithmetic over n_pages, so it stays in codegen
+    return extracted.withColumn(
+        "cost_usd", F.coalesce(F.col("n_pages"), F.lit(0)) * F.lit(COST_PER_PAGE_USD)
+    )

@@ -81,11 +81,20 @@ def latest_lineage(lineage: DataFrame) -> DataFrame:
 
 
 def resume_filter(spark: SparkSession, lineage_dir: str) -> DataFrame | None:
-    """Succeeded partition ids from a previous run, or None on first run."""
+    """Succeeded partition ids from a previous run, or None on first run.
+
+    Only the missing-path case means "fresh run"; any other read failure
+    (permissions, corrupt footer) re-raises — silently discarding resume
+    state would reprocess every partition.
+    """
+    from pyspark.errors import AnalysisException
+
     try:
         lin = spark.read.parquet(lineage_dir)
-    except Exception:  # noqa: BLE001 — no lineage yet => fresh run
-        return None
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
     return (
         latest_lineage(lin)
         .filter(F.col("status") == STATUS_SUCCEEDED)

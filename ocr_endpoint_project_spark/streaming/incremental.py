@@ -53,3 +53,68 @@ def stream_extract(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_extract_with_callbacks(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    callbacks_dir: str,
+    num_partitions: int = DEFAULT_PARTITIONS,
+    available_now: bool = True,
+    callback_fn=None,
+) -> StreamingQuery:
+    """Callback sink (S9) + progress reporting (O10): the reference's
+    completion webhook (``cv_api/main.py:199-220``) and per-job progress
+    callback become DATA — one summary row per micro-batch appended to a
+    ``callbacks`` table via ``foreachBatch``, plus an optional driver-side
+    ``callback_fn(summary_dict)`` hook (the literal webhook POST slot).
+
+    The per-batch summary agg collects k rows (k = 1) — driver-side by
+    design, like any foreachBatch commit hook; the data path itself never
+    leaves executors.
+    """
+    from pyspark.sql import functions as F
+
+    pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
+    extracted = run_extraction(pages, num_partitions=num_partitions)
+
+    def _handle(batch_df, batch_id: int) -> None:
+        batch_df.persist()
+        batch_df.write.mode("append").parquet(out_dir)
+        row = batch_df.agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum(F.when(F.col("status") == "succeeded", 1).otherwise(0)).alias("ok_count"),
+            F.sum(F.when(F.col("status") != "succeeded", 1).otherwise(0)).alias("failed_count"),
+            F.sum(F.coalesce(F.col("doc_bytes"), F.lit(0))).alias("byte_count"),
+            F.sum(F.coalesce(F.col("cost_usd"), F.lit(0.0))).alias("total_cost_usd"),
+        ).collect()[0]
+        summary = {
+            "batch_id": int(batch_id),
+            "doc_count": int(row["doc_count"] or 0),
+            "ok_count": int(row["ok_count"] or 0),
+            "failed_count": int(row["failed_count"] or 0),
+            "byte_count": int(row["byte_count"] or 0),
+            "total_cost_usd": float(row["total_cost_usd"] or 0.0),
+            "status": "succeeded" if not (row["failed_count"] or 0) else "partial",
+        }
+        spark.createDataFrame(
+            [summary],
+            "batch_id long, doc_count long, ok_count long, failed_count long, "
+            "byte_count long, total_cost_usd double, status string",
+        ).withColumn("finished_at", F.current_timestamp()).write.mode("append").parquet(
+            callbacks_dir
+        )
+        if callback_fn is not None:
+            callback_fn(summary)
+        batch_df.unpersist()
+
+    writer = (
+        extracted.writeStream.foreachBatch(_handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

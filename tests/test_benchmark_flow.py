@@ -34,6 +34,13 @@ def test_model_benchmark_and_export(spark, tmp_path):
     # the naive baseline keeps boilerplate -> strictly worse
     assert by_model["raw_text"]["avg_cer_pct"] > 0.0
     assert by_model["structured"]["avg_word_accuracy_pct"] == 100.0
+    # O8 cost accounting: cost = n_pages * $0.002 per run. The raw
+    # baseline emits one page per doc; the structured extractor pays for
+    # every PDF page, so its total is at least the one-page floor.
+    assert abs(by_model["raw_text"]["total_cost_usd"] - n_pages * 0.002) < 1e-9
+    assert by_model["structured"]["total_cost_usd"] >= n_pages * 0.002 - 1e-9
+    for m in ("structured", "raw_text"):
+        assert by_model[m]["avg_time_seconds"] >= 0.0
 
     # S8 export sinks: all-runs CSV, latest-snapshot CSV, summary JSON
     out = str(tmp_path / "export")

@@ -28,9 +28,10 @@ def test_queries_have_oracles_or_documented_gap(spark):
     o = entrymod.oracle_sql()
     assert len(q) >= 30
     assert set(o) <= set(q)
-    # only the token-level-DP kernels may be rows-only
+    # every query is oracle-checked (token-level WER got an exact SQL
+    # oracle in r2 via the token->single-byte-codepoint levenshtein trick)
     rows_only = set(q) - set(o)
-    assert rows_only == {"word_metrics_kernel", "token_wer_kernel"}
+    assert rows_only == set()
 
 
 def test_all_oracles_match(spark):

@@ -44,3 +44,57 @@ def test_stream_extract_incremental(spark, tmp_path):
     _await(stream_extract(spark, in_dir, out_dir, ckpt, num_partitions=8))
     assert spark.read.parquet(out_dir).count() == 60
     all_pages.unpersist()
+
+
+def test_stream_callback_sink(spark, tmp_path):
+    """S9/O10: foreachBatch callback sink — per-batch job summaries land
+    in the callbacks table AND reach the driver-side hook."""
+    from ocr_endpoint_project_spark.streaming import stream_extract_with_callbacks
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    cb_dir = str(tmp_path / "callbacks")
+
+    pages = corpus_pages(spark, n=40, seed=7).cache()
+    pages.write.mode("append").parquet(in_dir)
+
+    received = []
+    _await(
+        stream_extract_with_callbacks(
+            spark, in_dir, out_dir, ckpt, cb_dir,
+            num_partitions=8, callback_fn=received.append,
+        )
+    )
+
+    # data written
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 40
+    # one callback row per micro-batch, counts add up to the corpus
+    cbs = spark.read.parquet(cb_dir).collect()
+    assert len(cbs) >= 1
+    assert sum(r["doc_count"] for r in cbs) == 40
+    # the corpus deliberately contains a few failing docs; ok+failed must
+    # partition each batch, and status reflects whether failures occurred
+    assert all(r["ok_count"] + r["failed_count"] == r["doc_count"] for r in cbs)
+    assert sum(r["ok_count"] for r in cbs) == out.filter(
+        F.col("status") == "succeeded"
+    ).count()
+    assert all(
+        r["status"] == ("succeeded" if r["failed_count"] == 0 else "partial")
+        for r in cbs
+    )
+    assert all(r["total_cost_usd"] > 0 for r in cbs)
+    # the driver-side hook (the reference's webhook POST slot) fired too
+    assert [c["doc_count"] for c in received] == [r["doc_count"] for r in cbs]
+
+    # restart with no new input: no duplicate data, no new callbacks
+    n_cb = len(cbs)
+    _await(
+        stream_extract_with_callbacks(
+            spark, in_dir, out_dir, ckpt, cb_dir, num_partitions=8,
+        )
+    )
+    assert spark.read.parquet(out_dir).count() == 40
+    assert spark.read.parquet(cb_dir).count() == n_cb
+    pages.unpersist()
