@@ -37,8 +37,11 @@ HEADLINE = [
     "win_latest_snapshot",
     "rank_borda",
     "dedup_minhash_lsh_pairs",
+    "dedup_cluster_keeper",
     "dedup_simhash",
+    "dedup_simhash_pairs",
     "ann_bruteforce_topk",
+    "ann_ivf_bucketed",
     "text_quality_score",
     "word_metrics_kernel",
     "extract_roundtrip",
@@ -89,6 +92,12 @@ def main() -> None:
 
     from ocr_endpoint_project_spark.operators import all_queries
 
+    # bench runs the dedup path in its 100-TB shape: signature tables are
+    # materialized parquet, not .cache() (operators/dedup.py:_pin)
+    os.environ.setdefault(
+        "SPARK_GRAFT_MATERIALIZE_DIR", os.path.join(CACHE_DIR, "materialized")
+    )
+
     spark = _session("bench", cpus)
     queries = all_queries()
     timings: dict[str, float] = {}
@@ -119,19 +128,25 @@ def main() -> None:
         n_big = 4 * n_small
         scaling_docs = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "40000"))
         scaling_reps = max(1, scaling_docs // CORPUS_BASE)
+        n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
         for m in (n_small, n_big):
             s = _session(f"bench-scale-{m}", m, aqe=False)
             time_extraction(s, replicas=1, partitions=m)  # warm-up
-            # best-of-2: run-to-run variance on this shared VM is ~20%,
-            # which would dominate the efficiency ratio on single runs
+            # best-of-3 with the spread reported: run-to-run variance on
+            # this shared VM is ~15-20%, which would dominate the
+            # efficiency ratio on single runs — the spread makes the
+            # number's stability auditable (VERDICT r1 #9)
             runs = [
                 time_extraction(s, replicas=scaling_reps, partitions=m * 4)
-                for _ in range(2)
+                for _ in range(n_runs)
             ]
-            sdt, sn = min(runs)
+            secs = sorted(dt for dt, _ in runs)
+            sn = runs[0][1]  # doc count is identical across runs
             scaling[f"local[{m}]"] = {
-                "sec": round(sdt, 3),
-                "docs_per_sec": round(sn / sdt, 1),
+                "sec": round(secs[0], 3),
+                "docs_per_sec": round(sn / secs[0], 1),
+                "runs_sec": [round(x, 3) for x in secs],
+                "spread_pct": round((secs[-1] - secs[0]) / secs[0] * 100.0, 1),
             }
             s.stop()
         tput_n = scaling[f"local[{n_small}]"]["docs_per_sec"]
