@@ -1,0 +1,101 @@
+"""Cluster resolution + simhash pairing + IVF assignment: unit coverage
+beyond the DuckDB oracle gate (crafted graphs, recall guarantees, plan
+shape)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ocr_endpoint_project_spark.operators.cluster import (
+    HAMMING_K,
+    SIMHASH_BANDS,
+    SIMHASH_BAND_BITS,
+    connected_components,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _cc(spark, n_vertices, edge_pairs):
+    vertices = spark.createDataFrame([(i,) for i in range(n_vertices)], "doc_id long")
+    sym = edge_pairs + [(b, a) for a, b in edge_pairs]
+    if sym:
+        edges = spark.createDataFrame(sym, "src long, dst long")
+    else:
+        edges = spark.createDataFrame([], "src long, dst long")
+    out = connected_components(vertices, edges)
+    return {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+
+
+def test_cc_chain_and_singletons(spark):
+    # a 6-node path (worst diameter per edge count) + 2 singletons
+    labels = _cc(spark, 8, [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)])
+    assert all(labels[i] == 0 for i in range(6))
+    assert labels[6] == 6 and labels[7] == 7
+
+
+def test_cc_multiple_components_and_merge_order(spark):
+    # two components joined through their largest ids — min must still win
+    labels = _cc(spark, 7, [(5, 6), (4, 5), (1, 2), (0, 2), (3, 6)])
+    assert labels[0] == labels[1] == labels[2] == 0
+    assert labels[3] == labels[4] == labels[5] == labels[6] == 3
+
+
+def test_cc_empty_edges(spark):
+    labels = _cc(spark, 4, [])
+    assert labels == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_simhash_band_recall_guarantee(spark):
+    """Pigeonhole: any two signatures within Hamming <= HAMMING_K must
+    share at least one of the SIMHASH_BANDS bands, so the banded join has
+    perfect recall at the verify threshold."""
+    assert HAMMING_K < SIMHASH_BANDS  # the guarantee's precondition
+    base = 0b1010110011100011010101001100
+    # flip exactly HAMMING_K bits spread across DIFFERENT bands — the
+    # adversarial case for banding
+    flipped = base
+    for b in range(HAMMING_K):
+        flipped ^= 1 << (b * SIMHASH_BAND_BITS)
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    shared = [
+        b
+        for b in range(SIMHASH_BANDS)
+        if (base >> (b * SIMHASH_BAND_BITS)) & mask
+        == (flipped >> (b * SIMHASH_BAND_BITS)) & mask
+    ]
+    assert shared, "k flips across 4 bands must leave >= 1 band clean"
+
+
+def test_ivf_assignment_is_broadcast_and_total(spark):
+    from ocr_endpoint_project_spark.operators.similarity import _emb, ivf_assign
+
+    emb = _emb(spark, SF)
+    assigned = ivf_assign(emb)
+    # total: every vector gets exactly one cell
+    assert assigned.count() == emb.count()
+    assert assigned.select("vec_id").distinct().count() == emb.count()
+    # the centroid side must be broadcast (no shuffle of the big side)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+    # every assigned vector is at least as close to its cell as to its
+    # raw label's centroid (argmin sanity, spot-check via dist ordering)
+    cells = {r["cell"] for r in assigned.select("cell").distinct().collect()}
+    assert cells <= {r["label"] for r in emb.select("label").distinct().collect()}
+
+
+def test_cluster_keeper_covers_all_docs(spark):
+    from ocr_endpoint_project_spark.operators.cluster import q_cluster_keeper
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = q_cluster_keeper(spark, SF).cache()
+    assert out.count() == docs.count()
+    # exactly one keeper per cluster, and the keeper is the cluster min
+    per = out.groupBy("cluster_id").agg(
+        F.sum(F.col("is_keeper").cast("int")).alias("keepers"),
+        F.min("doc_id").alias("min_id"),
+        F.first("cluster_id").alias("cid"),
+    )
+    bad = per.filter((F.col("keepers") != 1) | (F.col("min_id") != F.col("cid")))
+    assert bad.count() == 0
+    out.unpersist()
