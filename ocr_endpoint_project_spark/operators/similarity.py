@@ -260,6 +260,85 @@ WHERE floor((list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]
 """
 
 
+N_PROBES = 2
+
+
+def ivf_assign_multi(emb: DataFrame, n_probes: int = N_PROBES) -> DataFrame:
+    """Multi-probe assignment: each vector keeps its n_probes nearest
+    cells (probe_rank 1..n). Probe 1 is the ivf_assign cell; searching
+    additional probes trades ~n_probes x scan cost for recall lost to
+    hard cell boundaries — the standard IVF recall knob."""
+    cent = ivf_centroids(emb)
+    vq = emb.select("vec_id", "embedding", _quant(F.col("embedding")).alias("eq"))
+    dist = F.aggregate(
+        F.zip_with("eq", "centroid_q", lambda x, c: (x * 10 - c) * (x * 10 - c)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = vq.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "cell", dist.alias("dist_q")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist_q"), F.asc("cell"))
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= n_probes)
+    )
+
+
+def q_ann_ivf_multiprobe(spark, sf_dir):
+    """IVF search with 2 probes: query vectors scan their 2 nearest
+    cells' members (members = single-probe assignment), recovering
+    neighbors that fall just across a cell boundary."""
+    emb = _emb(spark, sf_dir)
+    probes = ivf_assign_multi(emb).filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cell"),
+        F.col("embedding").alias("q_emb"),
+    )
+    cand = ivf_assign(emb).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cell").alias("c_cell"),
+        F.col("embedding").alias("c_emb"),
+    )
+    scored = cand.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("c_cell")) & (F.col("query_id") != F.col("neighbor_id")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        r4(cosine_expr(F.col("q_emb"), F.col("c_emb"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+SQL_ANN_IVF_MULTIPROBE = f"""
+{SQL_IVF_ASSIGN_CTES},
+probes AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist_q ASC, cell ASC) AS pr
+    FROM scored
+  ) WHERE pr <= {N_PROBES}
+), mp_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         floor((list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])) * 10000 + 0.5) / 10000 AS cosine
+  FROM probes q JOIN assigned c ON q.cell = c.cell AND q.vec_id != c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT query_id, rank, neighbor_id, cosine
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM mp_scored
+) WHERE rank <= {TOP_K}
+"""
+
+
 def q_centroid_per_cell(spark, sf_dir):
     """Cell centroids (the 'train' half of IVF): elementwise mean vector
     per label, emitted as (cell, dim, value) long form."""
@@ -287,6 +366,7 @@ QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "ann_ivf_assign": q_ann_ivf_assign,
     "ann_ivf_bucketed": q_ann_ivf_bucketed,
+    "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
     "ann_centroid_per_cell": q_centroid_per_cell,
     "dedup_embedding_pairs_bucketed": q_embedding_dup_bucketed,
 }
@@ -295,6 +375,7 @@ ORACLES = {
     "ann_bruteforce_topk": SQL_ANN_BRUTEFORCE,
     "ann_ivf_assign": SQL_ANN_IVF_ASSIGN,
     "ann_ivf_bucketed": SQL_ANN_IVF,
+    "ann_ivf_multiprobe": SQL_ANN_IVF_MULTIPROBE,
     "ann_centroid_per_cell": SQL_CENTROID,
     "dedup_embedding_pairs_bucketed": SQL_EMBEDDING_DUP_BUCKETED,
 }
