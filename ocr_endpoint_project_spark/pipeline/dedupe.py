@@ -1,0 +1,52 @@
+"""End-to-end corpus deduplication: documents -> MinHash-LSH candidate
+pairs -> connected components -> keeper filter -> deduplicated corpus.
+
+The user-facing composition of the dedup layer (operators/dedup.py +
+operators/cluster.py): what a training-data pipeline actually runs. The
+reference's single-key latest-snapshot rule
+(``scripts/export_benchmark_results.py:47-56``) is the 1-edge special
+case of this keeper selection.
+
+Scale shape: signatures and candidate pairs are standard keyed shuffles
+(shingle/band keys bound the pair space); the component loop is
+O(cluster diameter) keyed joins (near-dup clusters are shallow); the
+final keeper filter is a broadcast-able semi-join when the duplicate
+fraction is small, else a plain hash join on doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.cluster import connected_components
+
+
+def resolve_clusters(pairs: DataFrame, docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) near-dup pairs + full doc table -> per-doc cluster
+    assignment (doc_id, cluster_id, is_keeper, cluster_size)."""
+    p = pairs.select("doc_a", "doc_b")
+    edges = p.union(
+        p.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst")
+    labs = connected_components(docs.select("doc_id"), edges)
+    sizes = labs.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labs.join(sizes, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+            "cluster_size",
+        )
+    )
+
+
+def dedupe_corpus(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Keep one representative per near-dup cluster (the min doc_id),
+    preserving every original column plus cluster_id/cluster_size."""
+    clusters = resolve_clusters(pairs, docs)
+    keepers = clusters.filter(F.col("is_keeper")).select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+    return docs.join(keepers, "doc_id")

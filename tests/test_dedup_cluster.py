@@ -99,3 +99,30 @@ def test_cluster_keeper_covers_all_docs(spark):
     bad = per.filter((F.col("keepers") != 1) | (F.col("min_id") != F.col("cid")))
     assert bad.count() == 0
     out.unpersist()
+
+
+def test_dedupe_corpus_end_to_end(spark):
+    """pipeline/dedupe.py: near-dup pairs collapse to one keeper each,
+    non-duplicated docs survive untouched."""
+    from ocr_endpoint_project_spark.operators.dedup import q_minhash_lsh_pairs
+    from ocr_endpoint_project_spark.pipeline.dedupe import dedupe_corpus
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = q_minhash_lsh_pairs(spark, SF).cache()
+    n_docs = docs.count()
+    n_pairs = pairs.count()
+
+    kept = dedupe_corpus(docs, pairs).cache()
+    n_kept = kept.count()
+    # every cluster loses (size-1) docs; sizes >= 2 only where pairs exist
+    lost = n_docs - n_kept
+    assert (n_pairs == 0) == (lost == 0)
+    assert lost <= n_pairs  # each pair removes at most one doc
+    # keepers are unique and keep original columns
+    assert kept.select("doc_id").distinct().count() == n_kept
+    assert "text" in kept.columns and "cluster_size" in kept.columns
+    # every multi-doc cluster's keeper is its minimum (== cluster_id)
+    for r in kept.filter(F.col("cluster_size") > 1).collect():
+        assert r["doc_id"] == r["cluster_id"]
+    pairs.unpersist()
+    kept.unpersist()
