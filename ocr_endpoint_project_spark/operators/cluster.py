@@ -31,6 +31,7 @@ from .dedup import (
     SIMHASH_BITS,
     SQL_MINHASH_LSH,
     SQL_SIMHASH,
+    _pin,
     q_minhash_lsh_pairs,
     q_simhash,
 )
@@ -123,7 +124,9 @@ FROM labs
 # ---------------------------------------------------------------------------
 
 def q_simhash_pairs(spark, sf_dir):
-    sig = q_simhash(spark, sf_dir)
+    # pinned: the 28-bit signature HOF is the expensive leg and both
+    # self-join sides consume it (materialized table at bench/prod scale)
+    sig = _pin(q_simhash(spark, sf_dir), "simhash_sig")
     mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = sig.select(
         "doc_id",
@@ -145,7 +148,14 @@ def q_simhash_pairs(spark, sf_dir):
     ).select("doc_id", "simhash", "band.band_id", "band.band_key")
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("long")
+    # Hamming filter INSIDE the join output, BEFORE distinct: the
+    # deduplication then only shuffles the (rare) close pairs instead of
+    # every band-bucket candidate — at a hot band this is the difference
+    # between a distinct over O(bucket^2) rows and over the result size
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -155,15 +165,10 @@ def q_simhash_pairs(spark, sf_dir):
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            hamming.alias("hamming"),
         )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
-    return (
-        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= HAMMING_K)
+        .distinct()
     )
 
 
@@ -175,14 +180,12 @@ bands AS (
   SELECT doc_id, simhash, band_id,
          (simhash >> (band_id * {SIMHASH_BAND_BITS})) & {(1 << SIMHASH_BAND_BITS) - 1} AS band_key
   FROM bands
-), cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.simhash AS sig_a, b.simhash AS sig_b
-  FROM keyed a JOIN keyed b
-    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 )
-SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
-FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {HAMMING_K}
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM keyed a JOIN keyed b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_K}
 """
 
 

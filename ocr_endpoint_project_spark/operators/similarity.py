@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ._io import read_spread
 from ..functions.text import r4
-from .dedup import COSINE_DUP_THRESHOLD, cosine_expr
+from .dedup import COSINE_DUP_THRESHOLD, _pin, cosine_expr
 
 TOP_K = 5
 N_QUERIES = 10
@@ -176,7 +176,9 @@ FROM (
 def q_ann_ivf_bucketed(spark, sf_dir):
     """IVF search: candidates restricted to the query's ASSIGNED cell
     (nearest centroid by quantized L2, not the raw label column)."""
-    assigned = ivf_assign(_emb(spark, sf_dir))
+    # pinned: both self-join sides consume the assignment (an IVF index
+    # IS a materialized table in production)
+    assigned = _pin(ivf_assign(_emb(spark, sf_dir)), "ivf_assigned")
     queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("cell"),
@@ -231,7 +233,9 @@ FROM (
 # ---------------------------------------------------------------------------
 
 def q_embedding_dup_bucketed(spark, sf_dir):
-    assigned = ivf_assign(_emb(spark, sf_dir)).select("vec_id", "cell", "embedding")
+    assigned = _pin(ivf_assign(_emb(spark, sf_dir)), "ivf_assigned").select(
+        "vec_id", "cell", "embedding"
+    )
     a = assigned.alias("a")
     b = assigned.alias("b")
     return (
@@ -295,7 +299,7 @@ def q_ann_ivf_multiprobe(spark, sf_dir):
         F.col("cell"),
         F.col("embedding").alias("q_emb"),
     )
-    cand = ivf_assign(emb).select(
+    cand = _pin(ivf_assign(emb), "ivf_assigned").select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("cell").alias("c_cell"),
         F.col("embedding").alias("c_emb"),
