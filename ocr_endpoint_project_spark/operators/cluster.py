@@ -85,14 +85,22 @@ def q_cluster_keeper(spark, sf_dir):
     singleton docs keep themselves. The downstream dedup filter is simply
     ``WHERE is_keeper``.
     """
-    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _pin(q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b"), "cc_pairs")
     docs = read_spread(spark, f"{sf_dir}/documents.parquet").select("doc_id")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).toDF("src", "dst")
-    labs = connected_components(docs, edges)
+    # iterate ONLY over pair endpoints (duplicates are a small fraction of
+    # the corpus at 100 TB); untouched docs are singleton clusters by
+    # definition and join back without ever entering the loop
+    endpoints = edges.select(F.col("src").alias("doc_id")).distinct()
+    labs = connected_components(endpoints, edges)
+    singletons = docs.join(endpoints, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
+    all_labs = labs.union(singletons)
     w = Window.partitionBy("cluster_id")
-    return labs.select(
+    return all_labs.select(
         "doc_id",
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),

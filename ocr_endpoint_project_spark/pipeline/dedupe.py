@@ -29,7 +29,13 @@ def resolve_clusters(pairs: DataFrame, docs: DataFrame) -> DataFrame:
     edges = p.union(
         p.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).toDF("src", "dst")
-    labs = connected_components(docs.select("doc_id"), edges)
+    # loop only over pair endpoints; untouched docs are singletons
+    endpoints = edges.select(F.col("src").alias("doc_id")).distinct()
+    labs = connected_components(endpoints, edges).union(
+        docs.select("doc_id")
+        .join(endpoints, "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )
     sizes = labs.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         labs.join(sizes, "cluster_id")
