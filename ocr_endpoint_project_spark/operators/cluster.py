@@ -197,12 +197,60 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# end-to-end training-data prep: dedup keeper ∘ quality filter ∘ token
+# rollup — the composition a 100-TB pretraining pipeline actually runs
+# (dedup -> filter -> count tokens per language shard)
+# ---------------------------------------------------------------------------
+
+QUALITY_KEEP_THRESHOLD = 0.5
+
+
+def q_training_prep(spark, sf_dir):
+    from ..functions.text import r4
+    from .textstats import q_quality_score, q_token_stats
+
+    keep = q_cluster_keeper(spark, sf_dir).filter(F.col("is_keeper")).select("doc_id")
+    qual = q_quality_score(spark, sf_dir)
+    toks = q_token_stats(spark, sf_dir).select("doc_id", "n_tokens")
+    j = (
+        keep.join(qual, "doc_id")
+        .join(toks, "doc_id")
+        .filter(F.col("quality_score") >= QUALITY_KEEP_THRESHOLD)
+    )
+    # quality is already r4-quantized -> exact integer sum at 1e4 scale
+    q4 = F.floor(F.col("quality_score") * 10000.0 + 0.5)
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        r4(F.sum(q4) / (10000.0 * F.count(F.lit(1)))).alias("avg_quality"),
+    )
+
+
+def _sql_training_prep() -> str:
+    from .textstats import SQL_QUALITY_SCORE, SQL_TOKEN_STATS
+
+    return f"""
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       floor((sum(floor(quality_score * 10000.0 + 0.5))
+              / (10000.0 * count(*))) * 10000 + 0.5) / 10000 AS avg_quality
+FROM ({SQL_CLUSTER_KEEPER}) k
+JOIN ({SQL_QUALITY_SCORE}) q USING (doc_id)
+JOIN ({SQL_TOKEN_STATS}) t USING (doc_id)
+WHERE k.is_keeper AND q.quality_score >= {QUALITY_KEEP_THRESHOLD}
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "dedup_cluster_keeper": q_cluster_keeper,
     "dedup_simhash_pairs": q_simhash_pairs,
+    "pipeline_training_prep": q_training_prep,
 }
 
 ORACLES = {
     "dedup_cluster_keeper": SQL_CLUSTER_KEEPER,
     "dedup_simhash_pairs": SQL_SIMHASH_PAIRS,
+    "pipeline_training_prep": _sql_training_prep(),
 }
