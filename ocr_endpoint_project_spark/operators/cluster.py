@@ -78,24 +78,18 @@ def connected_components(vertices: DataFrame, edges: DataFrame) -> DataFrame:
     return labels.select("doc_id", F.col("lab").alias("cluster_id"))
 
 
-def q_cluster_keeper(spark, sf_dir):
-    """MinHash-LSH verified pairs -> connected components -> keeper.
-
-    Keeper = min(doc_id) per component (== cluster_id by construction);
-    singleton docs keep themselves. The downstream dedup filter is simply
-    ``WHERE is_keeper``.
-    """
-    pairs = _pin(q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b"), "cc_pairs")
-    docs = read_spread(spark, f"{sf_dir}/documents.parquet").select("doc_id")
+def keeper_frame(ids: DataFrame, pairs: DataFrame) -> DataFrame:
+    """pairs (doc_a, doc_b) + full id table (doc_id) -> per-id cluster
+    assignment with keeper flag and size. Iterates ONLY over pair
+    endpoints (duplicates are a small fraction of the corpus at 100 TB);
+    untouched ids are singleton clusters by definition and join back
+    without ever entering the loop."""
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).toDF("src", "dst")
-    # iterate ONLY over pair endpoints (duplicates are a small fraction of
-    # the corpus at 100 TB); untouched docs are singleton clusters by
-    # definition and join back without ever entering the loop
     endpoints = edges.select(F.col("src").alias("doc_id")).distinct()
     labs = connected_components(endpoints, edges)
-    singletons = docs.join(endpoints, "doc_id", "left_anti").select(
+    singletons = ids.join(endpoints, "doc_id", "left_anti").select(
         "doc_id", F.col("doc_id").alias("cluster_id")
     )
     all_labs = labs.union(singletons)
@@ -105,6 +99,38 @@ def q_cluster_keeper(spark, sf_dir):
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
         F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+
+
+def q_cluster_keeper(spark, sf_dir):
+    """MinHash-LSH verified pairs -> connected components -> keeper.
+
+    Keeper = min(doc_id) per component (== cluster_id by construction);
+    singleton docs keep themselves. The downstream dedup filter is simply
+    ``WHERE is_keeper``.
+    """
+    pairs = _pin(q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b"), "cc_pairs")
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet").select("doc_id")
+    return keeper_frame(docs, pairs)
+
+
+def q_embedding_cluster_keeper(spark, sf_dir):
+    """The same pair->component->keeper resolution over the EMBEDDING
+    near-dup modality (in-IVF-cell cosine pairs) — cluster resolution is
+    modality-agnostic once candidates exist."""
+    from .similarity import q_embedding_dup_bucketed
+
+    pairs = _pin(
+        q_embedding_dup_bucketed(spark, sf_dir).select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        ),
+        "emb_cc_pairs",
+    )
+    vecs = read_spread(spark, f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    return keeper_frame(vecs, pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id", "is_keeper", "cluster_size"
     )
 
 
@@ -243,14 +269,38 @@ GROUP BY lang
 """
 
 
+def _sql_embedding_keeper() -> str:
+    from .similarity import SQL_EMBEDDING_DUP_BUCKETED
+
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT vec_a AS doc_a, vec_b AS doc_b FROM ({SQL_EMBEDDING_DUP_BUCKETED})
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+), reach(id, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+), labs AS (
+  SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id
+)
+SELECT vec_id, cluster_id, vec_id = cluster_id AS is_keeper,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM labs
+"""
+
+
 QUERIES = {
     "dedup_cluster_keeper": q_cluster_keeper,
+    "dedup_embedding_cluster_keeper": q_embedding_cluster_keeper,
     "dedup_simhash_pairs": q_simhash_pairs,
     "pipeline_training_prep": q_training_prep,
 }
 
 ORACLES = {
     "dedup_cluster_keeper": SQL_CLUSTER_KEEPER,
+    "dedup_embedding_cluster_keeper": _sql_embedding_keeper(),
     "dedup_simhash_pairs": SQL_SIMHASH_PAIRS,
     "pipeline_training_prep": _sql_training_prep(),
 }
