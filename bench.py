@@ -126,9 +126,11 @@ def main() -> None:
         # never does; see BENCH/BASELINE.md for the full ladder incl. 8->32.)
         n_small = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_N", str(max(2, cpus // 16)))))
         n_big = 4 * n_small
-        scaling_docs = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "40000"))
+        # 60k docs/leg: long enough (~70 s on the small leg) that transient
+        # VM noise (steal, page-cache churn) amortizes instead of dominating
+        scaling_docs = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "60000"))
         scaling_reps = max(1, scaling_docs // CORPUS_BASE)
-        n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
+        n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "4"))
         for m in (n_small, n_big):
             s = _session(f"bench-scale-{m}", m, aqe=False)
             time_extraction(s, replicas=1, partitions=m)  # warm-up

@@ -192,7 +192,25 @@ FROM shl WHERE len(sh) > 0
 # ---------------------------------------------------------------------------
 
 def q_minhash_lsh_pairs(spark, sf_dir):
-    sig = _pin(q_minhash_signature(spark, sf_dir), "minhash_sig")  # both join sides
+    # ONE tokenize+shingle pass feeds both legs: the pinned per-doc
+    # shingle arrays serve the verify join directly and explode into the
+    # signature computation (previously two full passes over the corpus)
+    sh = _pin(
+        _docs(spark, sf_dir).select("doc_id", _shingles(norm_tokens("text")).alias("sh")),
+        "lsh_verify_shingles",
+    )
+    hashed = sh.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id", shingle_hash32(F.col("s")).alias("h")
+    )
+    sig = _pin(
+        hashed.groupBy("doc_id").agg(
+            *[
+                F.min((F.col("h") * a + b) % MINHASH_P).alias(f"mh{i}")
+                for i, (a, b) in enumerate(MINHASH_PERMS)
+            ]
+        ),
+        "minhash_sig",
+    )  # both band-join sides
     n_bands = len(MINHASH_PERMS) // LSH_ROWS_PER_BAND
     bands = sig.select(
         "doc_id",
@@ -226,11 +244,8 @@ def q_minhash_lsh_pairs(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # verify candidates with exact shingle Jaccard (only candidate pairs pay)
-    sh = _pin(
-        _docs(spark, sf_dir).select("doc_id", _shingles(norm_tokens("text")).alias("sh")),
-        "lsh_verify_shingles",
-    )  # consumed by both verify-join sides
+    # verify candidates with exact shingle Jaccard (only candidate pairs
+    # pay); reuses the pinned shingle arrays from above
     sa = sh.alias("sa")
     sb = sh.alias("sb")
     return (
