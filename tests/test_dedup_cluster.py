@@ -126,3 +126,31 @@ def test_dedupe_corpus_end_to_end(spark):
         assert r["doc_id"] == r["cluster_id"]
     pairs.unpersist()
     kept.unpersist()
+
+
+def test_ivf_multiprobe_recall_dominates_single_probe(spark):
+    """The 2-probe search must recover at least as many true (brute-force)
+    top-k neighbors as the single-cell search — the whole point of the
+    recall knob."""
+    from ocr_endpoint_project_spark.operators.similarity import (
+        q_ann_bruteforce_topk,
+        q_ann_ivf_bucketed,
+        q_ann_ivf_multiprobe,
+    )
+
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q_ann_bruteforce_topk(spark, SF).collect()
+    }
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q_ann_ivf_bucketed(spark, SF).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q_ann_ivf_multiprobe(spark, SF).collect()
+    }
+    recall_single = len(single & truth) / len(truth)
+    recall_multi = len(multi & truth) / len(truth)
+    assert recall_multi >= recall_single
+    assert recall_multi > 0
