@@ -98,3 +98,44 @@ def test_stream_callback_sink(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == 40
     assert spark.read.parquet(cb_dir).count() == n_cb
     pages.unpersist()
+
+
+def test_stateful_lang_totals_accumulate_across_restarts(spark, tmp_path):
+    """applyInPandasWithState: running per-lang totals survive a stream
+    restart via checkpointed group state (the streaming twin of batch
+    lineage resume)."""
+    from ocr_endpoint_project_spark.streaming.stateful import (
+        latest_lang_totals,
+        stream_lang_totals,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    all_pages = corpus_pages(spark, n=60, seed=42).cache()
+    batch1 = all_pages.filter(F.col("warc_ts") < F.lit("2024-01-01 00:00:30"))
+    batch2 = all_pages.filter(F.col("warc_ts") >= F.lit("2024-01-01 00:00:30"))
+
+    batch1.write.mode("append").parquet(in_dir)
+    _await(stream_lang_totals(spark, in_dir, out_dir, ckpt))
+    t1 = {r["lang"]: r["n_docs"] for r in latest_lang_totals(spark, out_dir).collect()}
+    assert sum(t1.values()) == batch1.count()
+
+    # restart: new files fold into CHECKPOINTED state, not from zero
+    batch2.write.mode("append").parquet(in_dir)
+    _await(stream_lang_totals(spark, in_dir, out_dir, ckpt))
+    final = latest_lang_totals(spark, out_dir)
+    t2 = {r["lang"]: r["n_docs"] for r in final.collect()}
+    assert sum(t2.values()) == 60
+    # totals match a batch groundtruth per lang
+    gt = {
+        r["lang"]: r["n"]
+        for r in all_pages.groupBy(F.coalesce(F.col("lang"), F.lit("und")).alias("lang"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert t2 == gt
+    # bytes tracked too
+    assert all(r["total_bytes"] > 0 for r in final.collect())
+    all_pages.unpersist()
