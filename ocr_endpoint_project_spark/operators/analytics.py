@@ -897,6 +897,77 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q4-style order-priority check: LEFT SEMI join (EXISTS) — orders in
+# a date window having at least one returned lineitem, counted by priority.
+# The semi-join never materializes lineitem columns, so only o_orderkey
+# moves through the probe side.
+# ---------------------------------------------------------------------------
+
+def q_order_priority(spark, sf_dir):
+    orders = read_spread(spark, f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01"))
+    )
+    returned = read_spread(spark, f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+SQL_ORDER_PRIORITY = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6-style forecast revenue: pure filter + single scalar aggregate —
+# whole-stage-codegen scan with every predicate pushed to parquet.
+# Exact-sum discipline: price (2dp) x discount (2dp) has exactly 4
+# decimals, so 1e4-scaled terms are integer-valued doubles (max ~7e7 per
+# term — exact int sums far past sf1) and the sum is order-independent.
+# ---------------------------------------------------------------------------
+
+def q_forecast_revenue(spark, sf_dir):
+    li = read_spread(spark, f"{sf_dir}/lineitem.parquet")
+    term = F.floor(
+        F.col("l_extendedprice") * F.col("l_discount") * 10000.0 + F.lit(0.5)
+    )
+    out = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(term).alias("rc"), F.count(F.lit(1)).alias("n_items"))
+        .select(r4(F.col("rc") / 10000.0).alias("revenue"), "n_items")
+    )
+    return out
+
+
+SQL_FORECAST_REVENUE = """
+SELECT floor((rc / 10000.0) * 10000 + 0.5) / 10000 AS revenue, n_items
+FROM (
+  SELECT sum(floor(l_extendedprice * l_discount * 10000 + 0.5)) AS rc,
+         count(*) AS n_items
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+)
+"""
+
+
 QUERIES = {
     "agg_per_model_summary": q_per_model_summary,
     "agg_error_mask": q_error_mask_agg,
@@ -919,6 +990,8 @@ QUERIES = {
     "rank_pairwise_verdict": q_pairwise_verdict,
     "tpch_shipping_priority": q_shipping_priority,
     "tpch_local_supplier_revenue": q_local_supplier_revenue,
+    "tpch_order_priority": q_order_priority,
+    "tpch_forecast_revenue": q_forecast_revenue,
 }
 
 ORACLES = {
@@ -943,4 +1016,6 @@ ORACLES = {
     "rank_pairwise_verdict": SQL_PAIRWISE_VERDICT,
     "tpch_shipping_priority": SQL_SHIPPING_PRIORITY,
     "tpch_local_supplier_revenue": SQL_LOCAL_SUPPLIER,
+    "tpch_order_priority": SQL_ORDER_PRIORITY,
+    "tpch_forecast_revenue": SQL_FORECAST_REVENUE,
 }
