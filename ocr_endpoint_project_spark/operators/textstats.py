@@ -169,6 +169,103 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# BPE-style pre-tokenizer counting: the GPT-2-family pretokenizer split
+# (word | number | punctuation-run), RE2-compatible (no lookahead) so the
+# same pattern runs in Spark and DuckDB. Whitespace-token counting lives
+# in text_token_stats; the bpe/ws ratio approximates tokens-per-word
+# inflation, the signal used for quality/cost budgeting.
+# ---------------------------------------------------------------------------
+
+BPE_PATTERN = r"[a-zA-Z]+(?:'[a-z]+)?|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprint (rolling-hash k-gram min-sampling, the MOSS
+# scheme): hash every k-char gram of the normalized text, take the min
+# hash of each w-gram window, dedup — a position-robust fingerprint SET
+# whose overlap estimates local similarity (vs the whole-doc md5 above,
+# which only detects exact matches). Pure Catalyst; the md5-derived gram
+# hash is the repo's engine-portable hash (functions/text.py).
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 5  # k-gram length (chars of the normalized token stream)
+WINNOW_W = 4  # winnowing window (grams per window)
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    txt = F.concat_ws(" ", norm_tokens("text"))
+    # CASE guards: Spark's sequence(1, 0) is the DESCENDING [1, 0], not
+    # empty — short docs must produce empty arrays explicitly
+    grams_expr = (
+        f"CASE WHEN length(norm_txt) < {WINNOW_K} THEN array() "
+        f"ELSE transform(sequence(1, length(norm_txt) - {WINNOW_K - 1}), "
+        f"i -> conv(substring(md5(substring(norm_txt, i, {WINNOW_K})), 1, 7), 16, 10)) END"
+    )
+    mins_expr = (
+        f"CASE WHEN size(hashes) < {WINNOW_W} THEN array() "
+        f"ELSE transform(sequence(1, size(hashes) - {WINNOW_W - 1}), "
+        f"i -> array_min(slice(hashes, i, {WINNOW_W}))) END"
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", txt.alias("norm_txt"))
+        .select("doc_id", F.expr(grams_expr).cast("array<long>").alias("hashes"))
+        .select("doc_id", F.array_distinct(F.expr(mins_expr)).alias("fps"))
+        .select(
+            "doc_id",
+            F.size("fps").cast("bigint").alias("n_fingerprints"),
+            F.md5(F.concat_ws(",", F.sort_array(F.col("fps")))).alias("fp_digest"),
+        )
+    )
+
+
+SQL_WINNOW = f"""
+WITH t AS (
+  SELECT doc_id, array_to_string({_sql_tokens()}, ' ') AS norm_txt FROM documents
+), h AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(norm_txt) - {WINNOW_K - 1}, 0) + 1),
+             i -> CAST(('0x' || substr(md5(substr(norm_txt, i, {WINNOW_K})), 1, 7)) AS BIGINT)
+         ) AS hashes
+  FROM t
+), m AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(hashes) - {WINNOW_W - 1}, 0) + 1),
+             i -> list_min(hashes[i:i + {WINNOW_W - 1}]))) AS fps
+  FROM h
+)
+SELECT doc_id,
+       CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       md5(array_to_string(list_sort(fps), ',')) AS fp_digest
+FROM m
+"""
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bpe = F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)
+    ws = norm_tokens("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(bpe).cast("bigint").alias("n_bpe_tokens"),
+        F.size(ws).cast("bigint").alias("n_ws_tokens"),
+        r4(
+            F.size(bpe).cast("double") / F.greatest(F.size(ws), F.lit(1))
+        ).alias("bpe_per_word"),
+    )
+
+
+_SQL_BPE = "regexp_extract_all(text, '[a-zA-Z]+(?:''[a-z]+)?|[0-9]+|[^a-zA-Z0-9\\s]+')"
+SQL_BPE_TOKEN_COUNT = f"""
+SELECT doc_id,
+       CAST(len({_SQL_BPE}) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+       floor((CAST(len({_SQL_BPE}) AS DOUBLE) / greatest(len(toks), 1)) * 10000 + 0.5)
+           / 10000 AS bpe_per_word
+FROM (SELECT doc_id, text, {_sql_tokens()} AS toks FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
 # CER as pure Catalyst (M3) — prediction simulated by a deterministic
 # perturbation so the metric is exercised end-to-end in both engines
 # ---------------------------------------------------------------------------
@@ -220,6 +317,8 @@ QUERIES = {
     "text_quality_score": q_quality_score,
     "text_lang_id": q_lang_id,
     "text_fingerprint": q_fingerprint,
+    "text_bpe_token_count": q_bpe_token_count,
+    "text_winnow_fingerprint": q_winnow_fingerprint,
     "metric_cer": q_cer,
     "metric_lang_rollup": q_lang_rollup,
 }
@@ -229,6 +328,8 @@ ORACLES = {
     "text_quality_score": SQL_QUALITY_SCORE,
     "text_lang_id": SQL_LANG_ID,
     "text_fingerprint": SQL_FINGERPRINT,
+    "text_bpe_token_count": SQL_BPE_TOKEN_COUNT,
+    "text_winnow_fingerprint": SQL_WINNOW,
     "metric_cer": SQL_CER_Q,
     "metric_lang_rollup": SQL_LANG_ROLLUP,
 }
