@@ -343,6 +343,132 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# SRP-LSH (signed random projections): 16-bit signature from fixed ±1
+# hyperplanes, banded 4x4 bits into buckets, cosine-verify within buckets.
+# The LSH-bucketed twin of the IVF path (no training step, works on a
+# stream). Planes are md5-derived CONSTANTS (hashlib, computed once at
+# import) embedded as literals in both engines; dots run over 1e-3
+# quantized integer components, so signatures are engine-exact.
+# ---------------------------------------------------------------------------
+
+SRP_BITS = 16
+SRP_BANDS = 4
+SRP_BAND_BITS = SRP_BITS // SRP_BANDS
+SRP_DIM = 64
+
+
+def _srp_planes() -> list[list[int]]:
+    import hashlib
+
+    planes = []
+    for b in range(SRP_BITS):
+        row = []
+        for i in range(SRP_DIM):
+            h = hashlib.md5(f"srp_{b}_{i}".encode()).digest()[0]
+            row.append(1 if h % 2 == 0 else -1)
+        planes.append(row)
+    return planes
+
+
+SRP_PLANES = _srp_planes()
+
+
+def srp_signature(eq_col):
+    """16-bit SRP signature of a quantized (int) embedding column."""
+    sig = F.lit(0).cast("long")
+    for b, row in enumerate(SRP_PLANES):
+        plane = F.array(*[F.lit(s) for s in row])
+        dot = F.aggregate(
+            F.zip_with(eq_col, plane, lambda x, s: x * s),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(dot > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def q_embedding_srp_pairs(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    sig = _pin(
+        emb.select(
+            "vec_id",
+            "embedding",
+            srp_signature(_quant(F.col("embedding"))).alias("sig"),
+        ),
+        "srp_sig",
+    )
+    mask = (1 << SRP_BAND_BITS) - 1
+    bands = sig.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_id"),
+                        (
+                            F.shiftright(F.col("sig"), bi * SRP_BAND_BITS)
+                            .bitwiseAND(F.lit(mask))
+                        ).alias("band_key"),
+                    )
+                    for bi in range(SRP_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("vec_id", "embedding", "band.band_id", "band.band_key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            r4(cosine_expr(F.col("a.embedding"), F.col("b.embedding"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .distinct()
+    )
+
+
+def _sql_srp_pairs() -> str:
+    plane_lits = ", ".join(
+        "[" + ", ".join(str(s) for s in row) + "]" for row in SRP_PLANES
+    )
+    bit_terms = " + ".join(
+        f"""CASE WHEN CAST(list_sum(list_transform(range(0, {SRP_DIM}),
+              i -> eq[i + 1] * planes[{b + 1}][i + 1])) AS BIGINT) > 0
+            THEN CAST({1 << b} AS BIGINT) ELSE 0 END"""
+        for b in range(SRP_BITS)
+    )
+    return f"""
+WITH vq AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS eq,
+         [{plane_lits}] AS planes
+  FROM embeddings
+), sig AS (
+  SELECT vec_id, embedding, CAST({bit_terms} AS BIGINT) AS sig FROM vq
+), keyed AS (
+  SELECT vec_id, embedding, band_id,
+         (sig >> (band_id * {SRP_BAND_BITS})) & {(1 << SRP_BAND_BITS) - 1} AS band_key
+  FROM (SELECT *, unnest(range(0, {SRP_BANDS})) AS band_id FROM sig)
+)
+SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       floor((list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) * 10000 + 0.5) / 10000 AS cosine
+FROM keyed a JOIN keyed b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+WHERE floor((list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) * 10000 + 0.5) / 10000
+      >= {COSINE_DUP_THRESHOLD}
+"""
+
+
 def q_centroid_per_cell(spark, sf_dir):
     """Cell centroids (the 'train' half of IVF): elementwise mean vector
     per label, emitted as (cell, dim, value) long form."""
@@ -373,6 +499,7 @@ QUERIES = {
     "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
     "ann_centroid_per_cell": q_centroid_per_cell,
     "dedup_embedding_pairs_bucketed": q_embedding_dup_bucketed,
+    "dedup_embedding_srp_pairs": q_embedding_srp_pairs,
 }
 
 ORACLES = {
@@ -382,4 +509,5 @@ ORACLES = {
     "ann_ivf_multiprobe": SQL_ANN_IVF_MULTIPROBE,
     "ann_centroid_per_cell": SQL_CENTROID,
     "dedup_embedding_pairs_bucketed": SQL_EMBEDDING_DUP_BUCKETED,
+    "dedup_embedding_srp_pairs": _sql_srp_pairs(),
 }
