@@ -29,3 +29,32 @@ def test_partition_and_column_pruning(spark, tmp_path):
     # and the result is correct
     n_ar = pages.filter(F.col("lang") == "ar").count()
     assert q.count() == n_ar > 0
+
+
+def test_tpch_q6_filters_pushed_to_scan(spark):
+    """Q6's predicates must reach the parquet scan (PushedFilters) and the
+    read schema must be pruned to the 4 referenced columns."""
+    from ocr_endpoint_project_spark.operators.analytics import q_forecast_revenue
+
+    q = q_forecast_revenue(spark, "/root/testdata/sf0.001")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in read_schema
+    assert "l_partkey" not in read_schema  # untouched columns pruned
+
+
+def test_tpch_q4_is_left_semi(spark):
+    """The EXISTS form must compile to a semi join, not an inner join +
+    distinct (which would materialize lineitem columns)."""
+    from ocr_endpoint_project_spark.operators.analytics import q_order_priority
+
+    plan = (
+        q_order_priority(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan
