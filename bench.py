@@ -42,7 +42,10 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "ann_bruteforce_topk",
     "ann_ivf_bucketed",
+    "dedup_embedding_srp_pairs",
     "text_quality_score",
+    "text_winnow_fingerprint",
+    "pipeline_training_prep",
     "word_metrics_kernel",
     "extract_roundtrip",
 ]
