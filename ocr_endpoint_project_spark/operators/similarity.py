@@ -344,17 +344,20 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
-# SRP-LSH (signed random projections): 16-bit signature from fixed ±1
-# hyperplanes, banded 4x4 bits into buckets, cosine-verify within buckets.
+# SRP-LSH (signed random projections): 24-bit signature from fixed ±1
+# hyperplanes, banded 4x6 bits into buckets, cosine-verify within buckets.
+# Scaling rule: buckets-per-band (2^band_bits) must grow with N to keep
+# per-bucket candidate counts bounded — band_bits ~ log2(N / target_bucket);
+# more bands buy recall back at linear cost.
 # The LSH-bucketed twin of the IVF path (no training step, works on a
 # stream). Planes are md5-derived CONSTANTS (hashlib, computed once at
 # import) embedded as literals in both engines; dots run over 1e-3
 # quantized integer components, so signatures are engine-exact.
 # ---------------------------------------------------------------------------
 
-SRP_BITS = 16
+SRP_BITS = 24
 SRP_BANDS = 4
-SRP_BAND_BITS = SRP_BITS // SRP_BANDS
+SRP_BAND_BITS = SRP_BITS // SRP_BANDS  # 6-bit bands = 64 buckets/band
 SRP_DIM = 64
 
 
@@ -375,7 +378,7 @@ SRP_PLANES = _srp_planes()
 
 
 def srp_signature(eq_col):
-    """16-bit SRP signature of a quantized (int) embedding column."""
+    """SRP signature of a quantized (int) embedding column."""
     sig = F.lit(0).cast("long")
     for b, row in enumerate(SRP_PLANES):
         plane = F.array(*[F.lit(s) for s in row])
