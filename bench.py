@@ -133,30 +133,42 @@ def main() -> None:
         # VM noise (steal, page-cache churn) amortizes instead of dominating
         scaling_docs = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "60000"))
         scaling_reps = max(1, scaling_docs // CORPUS_BASE)
-        n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "4"))
+        n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
+        # INTERLEAVED rounds (2,8,2,8,...): this shared VM drifts on a
+        # minutes scale (observed: one leg's 4 runs all 60% slower than
+        # the same leg an hour earlier), so running all N-leg runs then
+        # all 4N-leg runs lets a slow patch hit exactly one leg and skew
+        # the ratio both ways. Alternating legs inside each round makes
+        # every round a locally-paired measurement; per-round ratios are
+        # reported alongside the best-of aggregate.
+        leg_runs: dict[int, list[tuple[float, int]]] = {n_small: [], n_big: []}
+        pair_eff = []
+        for r in range(n_runs):
+            round_secs = {}
+            for m in (n_small, n_big):
+                s = _session(f"bench-scale-{m}-r{r}", m, aqe=False)
+                time_extraction(s, replicas=1, partitions=m)  # warm-up
+                run = time_extraction(s, replicas=scaling_reps, partitions=m * 4)
+                leg_runs[m].append(run)
+                round_secs[m] = run[0]
+                s.stop()
+            pair_eff.append(
+                round(round_secs[n_small] / round_secs[n_big] / 4.0, 3)
+            )
         for m in (n_small, n_big):
-            s = _session(f"bench-scale-{m}", m, aqe=False)
-            time_extraction(s, replicas=1, partitions=m)  # warm-up
-            # best-of-3 with the spread reported: run-to-run variance on
-            # this shared VM is ~15-20%, which would dominate the
-            # efficiency ratio on single runs — the spread makes the
-            # number's stability auditable (VERDICT r1 #9)
-            runs = [
-                time_extraction(s, replicas=scaling_reps, partitions=m * 4)
-                for _ in range(n_runs)
-            ]
-            secs = sorted(dt for dt, _ in runs)
-            sn = runs[0][1]  # doc count is identical across runs
+            secs = sorted(dt for dt, _ in leg_runs[m])
+            sn = leg_runs[m][0][1]  # doc count is identical across runs
             scaling[f"local[{m}]"] = {
                 "sec": round(secs[0], 3),
                 "docs_per_sec": round(sn / secs[0], 1),
                 "runs_sec": [round(x, 3) for x in secs],
                 "spread_pct": round((secs[-1] - secs[0]) / secs[0] * 100.0, 1),
             }
-            s.stop()
         tput_n = scaling[f"local[{n_small}]"]["docs_per_sec"]
         tput_4n = scaling[f"local[{n_big}]"]["docs_per_sec"]
         scaling["efficiency_n_to_4n"] = round(tput_4n / tput_n / 4.0, 3)
+        scaling["per_round_efficiency"] = pair_eff
+        scaling["efficiency_best_round"] = max(pair_eff)
 
     print(
         json.dumps(
