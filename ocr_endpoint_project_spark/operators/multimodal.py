@@ -217,12 +217,89 @@ FROM documents WHERE doc_id % 3 = 2
 """
 
 
+# ---------------------------------------------------------------------------
+# feature extraction: typed per-kind features from REAL container math
+# (aspect ratio from PNG IHDR, duration from WAV fmt/data sizes, video
+# duration at the container's nominal 25 fps) — the feature-extract stage
+# of a multimodal training pipeline, minus only the pixel/sample decode
+# this environment cannot run
+# ---------------------------------------------------------------------------
+
+VIDEO_FPS = 25.0
+
+FEATURE_SCHEMA = (
+    "asset_id long, kind string, duration_s double, aspect_ratio double, status string"
+)
+
+
+def feature_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for batch in it:
+        out = {"asset_id": [], "kind": [], "duration_s": [], "aspect_ratio": [], "status": []}
+        for aid, kind, payload in zip(batch["asset_id"], batch["kind"], batch["payload"]):
+            raw = bytes(payload) if payload is not None else b""
+            dur = None
+            ar = None
+            status = "succeeded"
+            try:
+                if kind == "image" and raw.startswith(PNG_MAGIC):
+                    w, h = struct.unpack(">II", raw[16:24])
+                    ar = w / h if h else None
+                elif kind == "audio" and raw[:4] == b"RIFF":
+                    sr = struct.unpack("<I", raw[24:28])[0]
+                    n_samples = struct.unpack("<I", raw[40:44])[0] // 2
+                    dur = n_samples / sr if sr else None
+                elif kind == "video" and raw[:4] == b"VID0":
+                    n = struct.unpack(">I", raw[4:8])[0]
+                    dur = n / VIDEO_FPS
+                else:
+                    status = "failed"
+            except Exception:  # noqa: BLE001 — corrupt container = failed row
+                status = "failed"
+            out["asset_id"].append(aid)
+            out["kind"].append(kind)
+            out["duration_s"].append(dur)
+            out["aspect_ratio"].append(ar)
+            out["status"].append(status)
+        yield pd.DataFrame(out)
+
+
+def q_media_features(spark, sf_dir):
+    from ..functions.text import r4
+
+    media = _media(spark, sf_dir)
+    feats = media.mapInPandas(feature_batch, FEATURE_SCHEMA)
+    return feats.select(
+        "asset_id",
+        "kind",
+        r4(F.col("duration_s")).alias("duration_s"),
+        r4(F.col("aspect_ratio")).alias("aspect_ratio"),
+        "status",
+    )
+
+
+SQL_MEDIA_FEATURES = """
+SELECT doc_id AS asset_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CASE doc_id % 3
+            WHEN 1 THEN floor((n_chars / (8000.0 + n_chars)) * 10000 + 0.5) / 10000
+            WHEN 2 THEN floor(((n_chars % 5 + 1) / 25.0) * 10000 + 0.5) / 10000
+       END AS duration_s,
+       CASE WHEN doc_id % 3 = 0
+            THEN floor((n_chars / CAST(n_chars // 2 + 1 AS DOUBLE)) * 10000 + 0.5) / 10000
+       END AS aspect_ratio,
+       'succeeded' AS status
+FROM documents
+"""
+
+
 QUERIES = {
     "media_decode_meta": q_media_decode,
     "media_frame_sample": q_media_frame_sample,
+    "media_feature_extract": q_media_features,
 }
 
 ORACLES = {
     "media_decode_meta": SQL_MEDIA_DECODE,
     "media_frame_sample": SQL_MEDIA_FRAMES,
+    "media_feature_extract": SQL_MEDIA_FEATURES,
 }
