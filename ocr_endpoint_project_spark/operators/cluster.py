@@ -36,10 +36,11 @@ from .dedup import (
     q_simhash,
 )
 
-# max label-propagation rounds: near-dup components are shallow; 16 rounds
-# covers a path graph of 2^16 docs under doubling-style propagation and the
-# loop exits early on convergence anyway
-MAX_CC_ROUNDS = 16
+# max label-propagation rounds: each round combines neighbor-min with a
+# pointer jump (label-of-label), so label distance-to-root roughly HALVES
+# per round — 24 rounds covers components of diameter ~2^24, and the loop
+# exits early on convergence (near-dup clusters converge in 2-3)
+MAX_CC_ROUNDS = 24
 
 SIMHASH_BANDS = 4
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 7
@@ -51,23 +52,34 @@ def connected_components(vertices: DataFrame, edges: DataFrame) -> DataFrame:
 
     ``vertices``: one column ``doc_id``; ``edges``: columns ``src``/``dst``
     (already symmetrized). Returns (doc_id, cluster_id) where cluster_id is
-    the component's minimum doc_id. Each round: neighbor-min join + a
-    monotone convergence check (sum of labels strictly decreases until
-    fixpoint — one cheap agg, no full old-vs-new join).
+    the component's minimum doc_id. Each round: neighbor-min join PLUS a
+    pointer jump (adopt the label of your current label) — the jump makes
+    convergence O(log diameter) instead of O(diameter), so adversarially
+    long chains cannot silently exhaust the round cap. Convergence check
+    is a monotone sum agg (labels only ever decrease).
     """
     labels = vertices.select("doc_id", F.col("doc_id").alias("lab")).localCheckpoint()
     prev_sum = labels.agg(F.sum("lab")).collect()[0][0] or 0
-    for _ in range(MAX_CC_ROUNDS):
+    for i in range(MAX_CC_ROUNDS):
         neigh = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
             .groupBy("src")
             .agg(F.min("lab").alias("nlab"))
         )
+        stepped = labels.join(neigh, labels["doc_id"] == neigh["src"], "left").select(
+            "doc_id",
+            F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias("lab"),
+        )
+        # pointer jump: lab <- label(lab). Since labels only decrease and a
+        # component min labels itself, jumping halves distance-to-min.
+        parent = stepped.select(
+            F.col("doc_id").alias("p_id"), F.col("lab").alias("p_lab")
+        )
         labels = (
-            labels.join(neigh, labels["doc_id"] == neigh["src"], "left")
+            stepped.join(parent, stepped["lab"] == parent["p_id"], "left")
             .select(
                 "doc_id",
-                F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias("lab"),
+                F.least(F.col("lab"), F.coalesce(F.col("p_lab"), F.col("lab"))).alias("lab"),
             )
             .localCheckpoint()  # truncate lineage: plan stays O(1) per round
         )
@@ -75,6 +87,10 @@ def connected_components(vertices: DataFrame, edges: DataFrame) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {MAX_CC_ROUNDS} rounds"
+        )
     return labels.select("doc_id", F.col("lab").alias("cluster_id"))
 
 

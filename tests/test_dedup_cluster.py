@@ -154,3 +154,11 @@ def test_ivf_multiprobe_recall_dominates_single_probe(spark):
     recall_multi = len(multi & truth) / len(truth)
     assert recall_multi >= recall_single
     assert recall_multi > 0
+
+
+def test_cc_long_chain_pointer_jumping(spark):
+    """A 200-node path needs 200 rounds under plain min-propagation; the
+    pointer jump must converge it within the 24-round cap."""
+    n = 200
+    labels = _cc(spark, n, [(i, i + 1) for i in range(n - 1)])
+    assert all(labels[i] == 0 for i in range(n))
