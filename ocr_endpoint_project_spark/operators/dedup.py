@@ -191,12 +191,15 @@ FROM shl WHERE len(sh) > 0
 # bucket-join on (band_id, band_key) -> distinct pairs -> verified Jaccard
 # ---------------------------------------------------------------------------
 
-def q_minhash_lsh_pairs(spark, sf_dir):
-    # ONE tokenize+shingle pass feeds both legs: the pinned per-doc
-    # shingle arrays serve the verify join directly and explode into the
-    # signature computation (previously two full passes over the corpus)
+def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """MinHash-LSH verified near-dup pairs over any (doc_id, text) frame.
+
+    ONE tokenize+shingle pass feeds both legs: the pinned per-doc
+    shingle arrays serve the verify join directly and explode into the
+    signature computation (previously two full passes over the corpus).
+    """
     sh = _pin(
-        _docs(spark, sf_dir).select("doc_id", _shingles(norm_tokens("text")).alias("sh")),
+        docs.select("doc_id", _shingles(norm_tokens("text")).alias("sh")),
         "lsh_verify_shingles",
     )
     hashed = sh.select("doc_id", F.explode("sh").alias("s")).select(
@@ -260,6 +263,10 @@ def q_minhash_lsh_pairs(spark, sf_dir):
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
 def _sql_band_rows() -> str:

@@ -52,3 +52,39 @@ def test_spark_submit_extract_job(spark, tmp_path):
     out = spark.read.parquet(os.path.join(out_dir, "extracted"))
     quarantined = spark.read.parquet(os.path.join(out_dir, "quarantine"))
     assert out.count() + quarantined.count() == 50
+
+
+@pytest.mark.slow
+def test_spark_submit_dedupe_job(spark, tmp_path):
+    """The dedup pipeline end-to-end via real spark-submit: deduplicated
+    corpus + cluster audit table + materialized signatures on disk."""
+    in_dir = str(tmp_path / "documents.parquet")
+    out_dir = str(tmp_path / "dedup_out")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.parquet(in_dir)
+    n_in = docs.count()
+
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable)
+    env.pop("SPARK_GRAFT_MATERIALIZE_DIR", None)
+    cmd = [
+        "spark-submit",
+        "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        os.path.join(REPO, "jobs", "dedupe_job.py"),
+        "--input", in_dir,
+        "--output", out_dir,
+    ]
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=300, env=env, cwd=REPO)
+    assert res.returncode == 0, res.stderr[-2000:]
+    stats = json.loads([l for l in res.stdout.splitlines() if l.startswith("{")][-1])
+    assert stats["docs_in"] == n_in
+    assert stats["docs_kept"] + stats["docs_removed"] == n_in
+    assert stats["docs_kept"] >= 1
+
+    kept = spark.read.parquet(os.path.join(out_dir, "deduped"))
+    assert kept.count() == stats["docs_kept"]
+    clusters = spark.read.parquet(os.path.join(out_dir, "clusters"))
+    assert clusters.count() == n_in
+    # signatures were materialized (the 100-TB shape), not cached
+    assert os.path.isdir(os.path.join(out_dir, "signatures", "lsh_verify_shingles"))
