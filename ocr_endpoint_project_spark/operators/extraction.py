@@ -187,6 +187,43 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# URL analytics (web-scale primitive): host / scheme / path-depth via
+# Spark's built-in parse_url over the synthesized pages urls; the oracle
+# predicts every value from the url construction rule
+# (``https://{source}.example/doc/{doc_id}``), so this validates that the
+# real URL parser agrees with the generator byte-for-byte.
+# ---------------------------------------------------------------------------
+
+def q_web_host_rollup(spark, sf_dir):
+    pages = pages_from_documents(spark, sf_dir).select("url")
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    scheme = F.regexp_extract("url", r"^(\w+)://", 1)
+    # "/doc/123" -> depth 2 (split yields ['', 'doc', '123'])
+    depth = F.size(F.split(F.parse_url(F.col("url"), F.lit("PATH")), "/")) - 1
+    return (
+        pages.select(host.alias("host"), scheme.alias("scheme"), depth.alias("path_depth"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("scheme") == "https", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_https"),
+            F.max("path_depth").cast("bigint").alias("max_path_depth"),
+        )
+    )
+
+
+SQL_WEB_HOST_ROLLUP = """
+SELECT source || '.example' AS host,
+       count(*) AS n_docs,
+       count(*) AS n_https,
+       CAST(2 AS BIGINT) AS max_path_depth
+FROM documents GROUP BY source
+"""
+
+
+
 QUERIES = {
     "extract_roundtrip": q_extract_roundtrip,
     "sections_parse": q_sections_parse,
@@ -194,6 +231,7 @@ QUERIES = {
     "word_metrics_kernel": q_word_metrics_kernel,
     "token_wer_kernel": q_token_wer,
     "extract_cost_summary": q_extract_cost_summary,
+    "web_host_rollup": q_web_host_rollup,
 }
 
 _SQL_PRED = "regexp_replace(text, 'batch', 'match', 'g')"
@@ -250,4 +288,5 @@ ORACLES = {
     "word_metrics_kernel": SQL_WORD_METRICS,
     "token_wer_kernel": SQL_TOKEN_WER,
     "extract_cost_summary": SQL_EXTRACT_COST,
+    "web_host_rollup": SQL_WEB_HOST_ROLLUP,
 }
