@@ -173,6 +173,7 @@ def main() -> None:
         scaling["efficiency_n_to_4n"] = round(tput_4n / tput_n / 4.0, 3)
         scaling["per_round_efficiency"] = pair_eff
         scaling["efficiency_best_round"] = max(pair_eff)
+        scaling["efficiency_median_round"] = sorted(pair_eff)[len(pair_eff) // 2]
 
     print(
         json.dumps(
