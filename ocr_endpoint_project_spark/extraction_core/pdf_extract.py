@@ -120,9 +120,14 @@ _ESCAPES = {
 }
 
 # single compiled scanner: one C-level match per token instead of
-# byte-at-a-time dispatch (the tokenizer was the kernel's hottest path)
+# byte-at-a-time dispatch (the tokenizer was the kernel's hottest path).
+# ``lit`` fast-paths the overwhelmingly common literal string with no
+# escapes and no nested parens (body decodes as latin-1, byte-for-byte
+# what the stateful parser produces); anything with '\\' or '(' in the
+# body fails the group and falls back to _literal_string.
 _SCANNER = re.compile(
     rb"(?P<ws>\s+)"
+    rb"|\((?P<lit>[^()\\]*)\)"
     rb"|(?P<hex><[0-9A-Fa-f\s]+>|<>)"
     rb"|(?P<dopen><<)|(?P<dclose>>>)"
     rb"|(?P<arr>[\[\]])"
@@ -176,25 +181,27 @@ def _tokenize(stream: bytes):
     i, n = 0, len(stream)
     scan = _SCANNER.match
     while i < n:
-        if stream[i] == 0x28:  # '(' literal string — stateful, manual parse
-            text, i = _literal_string(stream, i + 1)
-            yield ("str", text)
-            continue
         m = scan(stream, i)
         if m is None:
-            i += 1  # unknown byte — skip
+            if stream[i] == 0x28:  # escaped/nested literal — stateful parse
+                text, i = _literal_string(stream, i + 1)
+                yield ("str", text)
+            else:
+                i += 1  # unknown byte — skip
             continue
         i = m.end()
         kind = m.lastgroup
         if kind == "ws":
             continue
-        if kind == "hex":
+        if kind == "lit":
+            yield ("str", m.group("lit").decode("latin-1"))
+        elif kind == "num":
+            yield ("num", float(m.group(0)))
+        elif kind == "hex":
             hexbody = _WS_RE.sub(b"", m.group(0)[1:-1])
             if len(hexbody) % 2:
                 hexbody += b"0"
             yield ("str", bytes.fromhex(hexbody.decode("ascii")).decode("utf-8", "replace"))
-        elif kind == "num":
-            yield ("num", float(m.group(0)))
         elif kind == "name":
             yield ("name", m.group(0).decode("latin-1"))
         elif kind == "dopen":
