@@ -66,3 +66,42 @@ def test_spans_quote_operator_advances_line():
 def test_unknown_bytes_are_skipped():
     spans = _spans_from_stream(b"BT \x00\x01 1 0 0 1 5 5 Tm (x) Tj ET")
     assert spans == [(5.0, 5.0, 12.0, "x")]
+
+
+def test_literal_string_fast_path_matches_stateful():
+    """Property: the scanner's escape-free fast path and the stateful
+    parser produce identical text for every literal-string shape —
+    plain, escaped, nested, octal, and mixed."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ocr_endpoint_project_spark.extraction_core.pdf_extract import _tokenize
+
+    def encode_literal(s: str) -> bytes:
+        out = []
+        for ch in s:
+            if ch in "()\\":
+                out.append("\\" + ch)
+            elif ch == "\n":
+                out.append("\\n")
+            else:
+                out.append(ch)
+        return ("(" + "".join(out) + ")").encode("latin-1")
+
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(min_codepoint=32, max_codepoint=255),
+                max_size=40,
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def check(strings):
+        stream = b" ".join(encode_literal(s) + b" Tj" for s in strings)
+        got = [v for k, v in _tokenize(stream) if k == "str"]
+        assert got == strings
+
+    check()
