@@ -8,6 +8,8 @@ so a poisoned document can never kill a Spark task.
 
 from __future__ import annotations
 
+import gzip
+import io
 import time
 from dataclasses import dataclass, field
 
@@ -56,6 +58,16 @@ def extract_document(payload: bytes | None, max_bytes: int = MAX_DOC_BYTES) -> E
     """
     t0 = time.perf_counter()
     res = ExtractResult()
+    # transparent gzip: Common-Crawl-style payloads often arrive
+    # compressed; decompress (bounded by max_bytes AFTER inflation, so a
+    # zip bomb becomes FILE_TOO_LARGE, not an OOM) and dispatch on the
+    # inflated bytes
+    if payload is not None and payload[:2] == b"\x1f\x8b":
+        try:
+            with gzip.GzipFile(fileobj=io.BytesIO(payload)) as gz:
+                payload = gz.read(max_bytes + 1)
+        except OSError:
+            pass  # corrupt gzip: fall through and sniff the raw bytes
     kind = sniff_doc_kind(payload)
     res.doc_kind = kind
     try:

@@ -205,3 +205,31 @@ def test_corpus_skewed_host():
     rows = generate_corpus(n=300, seed=42)
     skewed = sum(1 for r in rows if "skewed-host" in r.url)
     assert 0.2 <= skewed / len(rows) <= 0.4
+
+
+def test_gzip_transparent_decompression():
+    """Common-Crawl-style gzipped payloads extract byte-identically to
+    their inflated form; zip bombs become FILE_TOO_LARGE rows; corrupt
+    gzip falls through to unknown-kind handling."""
+    import gzip as _gz
+
+    from ocr_endpoint_project_spark.extraction_core.document import extract_document
+    from ocr_endpoint_project_spark.sources.corpus import generate_corpus
+
+    rows = [r for r in generate_corpus(n=30, seed=11) if r.text][:10]
+    assert rows
+    for r in rows:
+        plain = extract_document(r.html)
+        zipped = extract_document(_gz.compress(r.html))
+        assert zipped.status == plain.status
+        assert zipped.extracted_text == plain.extracted_text
+        assert zipped.doc_kind == plain.doc_kind
+
+    # inflated size past the cap -> FILE_TOO_LARGE, never OOM
+    bomb = _gz.compress(b"<html>" + b"a" * (2_000_000) + b"</html>")
+    res = extract_document(bomb, max_bytes=1_000_000)
+    assert res.status == "failed" and res.error == "FILE_TOO_LARGE"
+
+    # corrupt gzip: raw bytes sniffed as-is (unknown -> INVALID_FILE_TYPE)
+    res = extract_document(b"\x1f\x8b" + b"\x00" * 40)
+    assert res.status == "failed"
