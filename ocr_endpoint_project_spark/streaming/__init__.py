@@ -3,10 +3,12 @@ page files (the reference's async-job semantics, O3/O4, as a stream)."""
 
 from .incremental import stream_extract, stream_extract_with_callbacks
 from .stateful import latest_lang_totals, stream_lang_totals
+from .windowed import stream_windowed_counts
 
 __all__ = [
     "stream_extract",
     "stream_extract_with_callbacks",
     "stream_lang_totals",
     "latest_lang_totals",
+    "stream_windowed_counts",
 ]

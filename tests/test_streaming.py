@@ -139,3 +139,47 @@ def test_stateful_lang_totals_accumulate_across_restarts(spark, tmp_path):
     # bytes tracked too
     assert all(r["total_bytes"] > 0 for r in final.collect())
     all_pages.unpersist()
+
+
+def test_windowed_watermark_drops_late_data(spark, tmp_path):
+    """Event-time tumbling windows: a window emits once when the
+    watermark passes its end, and events later than the watermark are
+    dropped — exactly-once immutable window history."""
+    from datetime import datetime
+
+    from ocr_endpoint_project_spark.streaming.windowed import stream_windowed_counts
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def page(ts_s, url):
+        return (url, datetime(2024, 1, 1, 0, 0, ts_s % 60, 0).replace(
+            minute=ts_s // 60), b"<html><p>hello world page</p></html>", "", "en")
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+        ).write.mode("append").parquet(in_dir)
+
+    # batch 1: 3 events in window [00:00, 01:00) + a sentinel at 05:00
+    # that advances the watermark to 04:30 (> 01:00), finalizing window 0
+    write([page(1, "a"), page(20, "b"), page(50, "c"), page(300, "w1")])
+    _await(stream_windowed_counts(spark, in_dir, out_dir, ckpt))
+    out1 = {
+        (r["window_start"].minute, r["n_docs"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert (0, 3) in out1  # window 0 finalized with exactly 3 docs
+
+    # batch 2: a LATE event for window 0 (time 00:30 < watermark 04:30 ->
+    # dropped) plus events advancing the watermark past window [05:00,06:00)
+    write([page(30, "late"), page(310, "w2"), page(700, "w3")])
+    _await(stream_windowed_counts(spark, in_dir, out_dir, ckpt))
+    rows = spark.read.parquet(out_dir).collect()
+    win0 = [r for r in rows if r["window_start"].minute == 0 and r["window_start"].hour == 0]
+    # window 0 emitted exactly once and the late event never re-opened it
+    assert len(win0) == 1 and win0[0]["n_docs"] == 3
+    # the 05:00 window finalized with w1 + w2
+    win5 = [r for r in rows if r["window_start"].minute == 5]
+    assert len(win5) == 1 and win5[0]["n_docs"] == 2
