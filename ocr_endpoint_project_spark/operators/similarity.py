@@ -344,6 +344,129 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# k-means IVF training: Lloyd iterations on top of the label-seeded
+# centroids — assign to nearest centroid, recompute quantized means,
+# repeat. All arithmetic stays in the exact-integer scheme (1e-3 vector
+# ints, 1e-4 centroid ints via one IEEE division), so every iteration is
+# engine-replayable and the DuckDB oracle reproduces the full training
+# trajectory. Fixed iteration count keeps the oracle a finite CTE chain.
+# ---------------------------------------------------------------------------
+
+KMEANS_ROUNDS = 2
+
+
+def _assign_to(vq: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, eq, embedding) x (cell, centroid_q) -> nearest-cell rows."""
+    dist = F.aggregate(
+        F.zip_with("eq", "centroid_q", lambda x, c: (x * 10 - c) * (x * 10 - c)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = vq.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "eq", "cell", dist.alias("dist_q")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist_q"), F.asc("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def _centroids_of(assigned: DataFrame) -> DataFrame:
+    """(vec_id, eq, cell) -> per-cell quantized mean vectors."""
+    dims = assigned.select("cell", F.posexplode("eq").alias("dim", "eqv"))
+    per = dims.groupBy("cell", "dim").agg(
+        F.sum("eqv").alias("c_num"), F.count(F.lit(1)).alias("n")
+    )
+    cq = per.select(
+        "cell",
+        "dim",
+        F.floor(F.col("c_num") * 10.0 / F.col("n") + 0.5).cast("long").alias("cq"),
+    )
+    return cq.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cq"))), lambda s: s["cq"]
+        ).alias("centroid_q")
+    )
+
+
+def kmeans_assign(emb: DataFrame, rounds: int = KMEANS_ROUNDS) -> DataFrame:
+    """Lloyd's algorithm: label-seeded centroids refined for ``rounds``
+    assign/update iterations; returns the final assignment. Each round is
+    one broadcast nested-loop (assignment, no shuffle of the big side) +
+    one keyed aggregation (centroid update) — the canonical distributed
+    k-means shape."""
+    vq = emb.select("vec_id", "embedding", _quant(F.col("embedding")).alias("eq"))
+    cent = ivf_centroids(emb)
+    assigned = None
+    for _ in range(rounds):
+        assigned = _assign_to(vq, cent)
+        cent = _centroids_of(assigned)
+        # final loop iteration's `assigned` pairs with the PREVIOUS cent;
+        # one last assignment against the updated centroids below
+    return _assign_to(vq, cent)
+
+
+def q_ann_kmeans_assign(spark, sf_dir):
+    return kmeans_assign(_emb(spark, sf_dir)).select("vec_id", "cell", "dist_q")
+
+
+def _sql_kmeans_assign() -> str:
+    """DuckDB twin: unrolled Lloyd iterations as a finite CTE chain."""
+    assign = """
+, scored{i} AS (
+  SELECT v.vec_id, v.eq, c.cell,
+         CAST(list_sum(list_transform(range(0, len(v.eq)),
+             j -> (v.eq[j + 1] * 10 - c.centroid_q[j + 1])
+                * (v.eq[j + 1] * 10 - c.centroid_q[j + 1]))) AS BIGINT) AS dist_q
+  FROM vq v CROSS JOIN cent{i} c
+), assigned{i} AS (
+  SELECT vec_id, eq, cell, dist_q FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist_q ASC, cell ASC) AS rn
+    FROM scored{i}
+  ) WHERE rn = 1
+)"""
+    update = """
+, dims{i} AS (
+  SELECT cell, unnest(eq) AS eqv, unnest(range(0, len(eq))) AS dim FROM assigned{i}
+), per{i} AS (
+  SELECT cell, dim, CAST(sum(eqv) AS BIGINT) AS c_num, count(*) AS n
+  FROM dims{i} GROUP BY 1, 2
+), cent{inext} AS (
+  SELECT cell,
+         list(CAST(floor(c_num * 10.0 / n + 0.5) AS BIGINT) ORDER BY dim) AS centroid_q
+  FROM per{i} GROUP BY cell
+)"""
+    chain = """
+WITH vq AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS eq
+  FROM embeddings
+), seed_dims AS (
+  SELECT label AS cell, unnest(
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))) AS eqv,
+         unnest(range(0, len(embedding))) AS dim
+  FROM embeddings
+), seed_per AS (
+  SELECT cell, dim, CAST(sum(eqv) AS BIGINT) AS c_num, count(*) AS n
+  FROM seed_dims GROUP BY 1, 2
+), cent0 AS (
+  SELECT cell,
+         list(CAST(floor(c_num * 10.0 / n + 0.5) AS BIGINT) ORDER BY dim) AS centroid_q
+  FROM seed_per GROUP BY cell
+)"""
+    for i in range(KMEANS_ROUNDS):
+        chain += assign.format(i=i) + update.format(i=i, inext=i + 1)
+    chain += assign.format(i=KMEANS_ROUNDS)
+    chain += f"\nSELECT vec_id, cell, dist_q FROM assigned{KMEANS_ROUNDS}\n"
+    return chain
+
+
+# ---------------------------------------------------------------------------
 # SRP-LSH (signed random projections): 24-bit signature from fixed ±1
 # hyperplanes, banded 4x6 bits into buckets, cosine-verify within buckets.
 # Scaling rule: buckets-per-band (2^band_bits) must grow with N to keep
@@ -500,6 +623,7 @@ QUERIES = {
     "ann_ivf_assign": q_ann_ivf_assign,
     "ann_ivf_bucketed": q_ann_ivf_bucketed,
     "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
+    "ann_kmeans_assign": q_ann_kmeans_assign,
     "ann_centroid_per_cell": q_centroid_per_cell,
     "dedup_embedding_pairs_bucketed": q_embedding_dup_bucketed,
     "dedup_embedding_srp_pairs": q_embedding_srp_pairs,
@@ -510,6 +634,7 @@ ORACLES = {
     "ann_ivf_assign": SQL_ANN_IVF_ASSIGN,
     "ann_ivf_bucketed": SQL_ANN_IVF,
     "ann_ivf_multiprobe": SQL_ANN_IVF_MULTIPROBE,
+    "ann_kmeans_assign": _sql_kmeans_assign(),
     "ann_centroid_per_cell": SQL_CENTROID,
     "dedup_embedding_pairs_bucketed": SQL_EMBEDDING_DUP_BUCKETED,
     "dedup_embedding_srp_pairs": _sql_srp_pairs(),
