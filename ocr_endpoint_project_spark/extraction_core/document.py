@@ -11,6 +11,7 @@ from __future__ import annotations
 import gzip
 import io
 import time
+import zlib
 from dataclasses import dataclass, field
 
 from .sniff import (
@@ -66,7 +67,11 @@ def extract_document(payload: bytes | None, max_bytes: int = MAX_DOC_BYTES) -> E
         try:
             with gzip.GzipFile(fileobj=io.BytesIO(payload)) as gz:
                 payload = gz.read(max_bytes + 1)
-        except OSError:
+        # OSError covers BadGzipFile (bad header/CRC); a TRUNCATED stream
+        # raises EOFError and a corrupted deflate body raises zlib.error —
+        # all three are routine in Common-Crawl-style data and must become
+        # (status, error) rows, never task failures
+        except (OSError, EOFError, zlib.error):
             pass  # corrupt gzip: fall through and sniff the raw bytes
     kind = sniff_doc_kind(payload)
     res.doc_kind = kind

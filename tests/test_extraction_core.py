@@ -233,3 +233,15 @@ def test_gzip_transparent_decompression():
     # corrupt gzip: raw bytes sniffed as-is (unknown -> INVALID_FILE_TYPE)
     res = extract_document(b"\x1f\x8b" + b"\x00" * 40)
     assert res.status == "failed"
+
+    # TRUNCATED gzip stream: GzipFile.read raises EOFError (not OSError);
+    # must still become a row, never a task failure
+    whole = _gz.compress(b"<html><body><p>" + b"hello world " * 50 + b"</p></body></html>")
+    truncated = whole[: len(whole) // 2]
+    res = extract_document(truncated)
+    assert res.status == "failed"  # falls through to raw-byte sniffing
+
+    # corrupted deflate body (valid header, garbage payload) -> zlib.error path
+    corrupt_body = whole[:10] + bytes(255 - b for b in whole[10:-8]) + whole[-8:]
+    res = extract_document(corrupt_body)
+    assert res.status == "failed"
