@@ -48,10 +48,14 @@ def main() -> None:
     docs = spark.read.parquet(args.input)
     pairs = minhash_lsh_pairs(docs)
 
-    clusters = resolve_clusters(pairs, docs)
-    clusters.write.mode("overwrite").parquet(os.path.join(args.output, "clusters"))
+    # resolve ONCE: write the cluster assignment, then derive the keeper
+    # filter from the written table so the iterative component loop (and
+    # the pair materialization feeding it) runs a single time per job
+    clusters_path = os.path.join(args.output, "clusters")
+    resolve_clusters(pairs, docs).write.mode("overwrite").parquet(clusters_path)
+    clusters = spark.read.parquet(clusters_path)
 
-    deduped = dedupe_corpus(docs, pairs)
+    deduped = dedupe_corpus(docs, clusters=clusters)
     deduped.write.mode("overwrite").parquet(os.path.join(args.output, "deduped"))
 
     n_in = docs.count()

@@ -56,11 +56,13 @@ def connected_components(vertices: DataFrame, edges: DataFrame) -> DataFrame:
     pointer jump (adopt the label of your current label) — the jump makes
     convergence O(log diameter) instead of O(diameter), so adversarially
     long chains cannot silently exhaust the round cap. Convergence check
-    is a monotone sum agg (labels only ever decrease).
+    counts CHANGED labels between rounds (a join of two checkpointed
+    frames): summing raw int64 labels could wrap silently with hashed
+    64-bit ids and fake convergence.
     """
     labels = vertices.select("doc_id", F.col("doc_id").alias("lab")).localCheckpoint()
-    prev_sum = labels.agg(F.sum("lab")).collect()[0][0] or 0
     for i in range(MAX_CC_ROUNDS):
+        prev = labels
         neigh = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
             .groupBy("src")
@@ -83,10 +85,14 @@ def connected_components(vertices: DataFrame, edges: DataFrame) -> DataFrame:
             )
             .localCheckpoint()  # truncate lineage: plan stays O(1) per round
         )
-        cur_sum = labels.agg(F.sum("lab")).collect()[0][0] or 0
-        if cur_sum == prev_sum:
+        n_changed = (
+            labels.join(prev.select("doc_id", F.col("lab").alias("plab")), "doc_id")
+            .agg(F.sum((F.col("lab") != F.col("plab")).cast("long")))
+            .collect()[0][0]
+            or 0
+        )
+        if n_changed == 0:
             break
-        prev_sum = cur_sum
     else:
         raise RuntimeError(
             f"connected_components did not converge in {MAX_CC_ROUNDS} rounds"

@@ -35,6 +35,14 @@ LSH_ROWS_PER_BAND = 2  # 8 perms -> 4 bands
 JACCARD_THRESHOLD = 0.5
 NGRAM_N = 3
 
+# document-frequency cap for shingles: a shingle present in more than
+# SHINGLE_DF_CAP documents is a stop-shingle — it carries no dedup signal
+# and its self-join contribution is O(df^2) rows (the classic hot-key
+# blowup at Common-Crawl scale). Dropping it BEFORE the join bounds the
+# pair space at O(df_cap * n_shingles). Mirrored exactly in the DuckDB
+# oracles, so correctness holds at any cap value.
+SHINGLE_DF_CAP = int(os.environ.get("SPARK_GRAFT_SHINGLE_DF_CAP", "512"))
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_spread(spark, f"{sf_dir}/documents.parquet")
@@ -73,6 +81,34 @@ def _shingles(tokens):
     return F.array_distinct(word_ngrams(tokens, NGRAM_N))
 
 
+def _hot_shingles(sh: DataFrame) -> DataFrame:
+    """Stop-shingles (df > SHINGLE_DF_CAP) of an exploded (doc_id, s)
+    shingle stream. groupBy gets map-side partial counts (hot keys cheap),
+    and the result is tiny — broadcast to the anti-join, so the big
+    shingle stream never shuffles for the cap."""
+    return (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("s")
+    )
+
+
+def _cap_df(sh: DataFrame) -> DataFrame:
+    """Drop stop-shingles from an exploded (doc_id, s) stream."""
+    return sh.join(F.broadcast(_hot_shingles(sh)), "s", "left_anti").select("doc_id", "s")
+
+
+def _sql_capped_shingle_ctes() -> str:
+    """DuckDB twin: exploded shingles `sh` and the df-capped stream `shc`."""
+    return f"""toks AS (SELECT doc_id, {_sql_tokens()} AS t FROM documents),
+sh AS (SELECT doc_id, unnest({_sql_shingles()}) AS s FROM toks),
+shc AS (
+  SELECT doc_id, s FROM sh
+  WHERE s NOT IN (SELECT s FROM sh GROUP BY s HAVING count(*) > {SHINGLE_DF_CAP})
+)"""
+
+
 # ---------------------------------------------------------------------------
 # exact dedup: hash-groupBy on content (one shuffle of (hash) keys; at
 # scale the md5 is computed scan-side so only 16-byte keys move)
@@ -98,12 +134,13 @@ FROM documents GROUP BY 1
 # ---------------------------------------------------------------------------
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    # pinned: consumed three times (both self-join sides + sizes)
-    sh = _pin(
+    # pinned: consumed four times (df cap + both self-join sides + sizes)
+    raw = _pin(
         _docs(spark, sf_dir)
         .select("doc_id", F.explode(_shingles(norm_tokens("text"))).alias("s")),
         "ngram_shingles",
     )
+    sh = _cap_df(raw)  # Jaccard is computed over the CAPPED shingle sets
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -129,12 +166,11 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 SQL_NGRAM_JACCARD = f"""
-WITH toks AS (SELECT doc_id, {_sql_tokens()} AS t FROM documents),
-sh AS (SELECT doc_id, unnest({_sql_shingles()}) AS s FROM toks),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+WITH {_sql_capped_shingle_ctes()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -156,12 +192,15 @@ def q_minhash_signature(spark, sf_dir):
     recomputes the md5 shingle hashes once per permutation after Catalyst
     collapses the projections — 8x the work. The explode+groupBy shape
     hashes each shingle exactly once and is also the 10^12-doc shape:
-    one shuffle keyed by doc_id with map-side partial min."""
-    sh = (
+    one shuffle keyed by doc_id with map-side partial min. Stop-shingles
+    (df > SHINGLE_DF_CAP) are dropped first — same capped stream the LSH
+    path signs, so signatures agree across operators."""
+    raw = _pin(
         _docs(spark, sf_dir)
-        .select("doc_id", F.explode(_shingles(norm_tokens("text"))).alias("s"))
-        .select("doc_id", shingle_hash32(F.col("s")).alias("h"))
+        .select("doc_id", F.explode(_shingles(norm_tokens("text"))).alias("s")),
+        "mh_shingles",
     )
+    sh = _cap_df(raw).select("doc_id", shingle_hash32(F.col("s")).alias("h"))
     aggs = [
         F.min((F.col("h") * a + b) % MINHASH_P).alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_PERMS)
@@ -170,19 +209,24 @@ def q_minhash_signature(spark, sf_dir):
 
 
 def _sql_minhash_exprs() -> str:
-    h = SQL_SHINGLE_HASH32.format(s="s")
+    """min-per-perm over the exploded capped-shingle hash stream `hashed`."""
     return ",\n       ".join(
-        f"list_min(list_transform(sh, s -> ({h} * {a} + {b}) % {MINHASH_P})) AS mh{i}"
+        f"CAST(min((h * {a} + {b}) % {MINHASH_P}) AS BIGINT) AS mh{i}"
         for i, (a, b) in enumerate(MINHASH_PERMS)
     )
 
 
+_SQL_HASHED_CTE = f"""hashed AS (
+  SELECT doc_id, {SQL_SHINGLE_HASH32.format(s="s")} AS h FROM shc
+)"""
+
+
 SQL_MINHASH_SIG = f"""
-WITH toks AS (SELECT doc_id, {_sql_tokens()} AS t FROM documents),
-shl AS (SELECT doc_id, {_sql_shingles()} AS sh FROM toks)
+WITH {_sql_capped_shingle_ctes()},
+{_SQL_HASHED_CTE}
 SELECT doc_id,
        {_sql_minhash_exprs()}
-FROM shl WHERE len(sh) > 0
+FROM hashed GROUP BY doc_id
 """
 
 
@@ -194,17 +238,23 @@ FROM shl WHERE len(sh) > 0
 def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     """MinHash-LSH verified near-dup pairs over any (doc_id, text) frame.
 
-    ONE tokenize+shingle pass feeds both legs: the pinned per-doc
-    shingle arrays serve the verify join directly and explode into the
-    signature computation (previously two full passes over the corpus).
+    ONE tokenize+shingle pass feeds both legs: the pinned exploded
+    shingle stream is df-capped once (stop-shingles carry no signal and
+    blow up O(df^2) in any shingle-keyed join), then regrouped into the
+    verify arrays and hashed into the signature computation.
     """
+    raw = _pin(
+        docs.select("doc_id", F.explode(_shingles(norm_tokens("text"))).alias("s")),
+        "lsh_shingles_raw",
+    )
+    shc = _cap_df(raw)
+    # per-doc capped shingle ARRAYS for the exact-Jaccard verify step
+    # (order-insensitive set ops downstream, collect_list order is fine)
     sh = _pin(
-        docs.select("doc_id", _shingles(norm_tokens("text")).alias("sh")),
+        shc.groupBy("doc_id").agg(F.collect_list("s").alias("sh")),
         "lsh_verify_shingles",
     )
-    hashed = sh.select("doc_id", F.explode("sh").alias("s")).select(
-        "doc_id", shingle_hash32(F.col("s")).alias("h")
-    )
+    hashed = shc.select("doc_id", shingle_hash32(F.col("s")).alias("h"))
     sig = _pin(
         hashed.groupBy("doc_id").agg(
             *[
@@ -282,11 +332,12 @@ def _sql_band_rows() -> str:
 
 
 SQL_MINHASH_LSH = f"""
-WITH toks AS (SELECT doc_id, {_sql_tokens()} AS t FROM documents),
-shl AS (SELECT doc_id, {_sql_shingles()} AS sh FROM toks),
+WITH {_sql_capped_shingle_ctes()},
+{_SQL_HASHED_CTE},
+shl AS (SELECT doc_id, list(s) AS sh FROM shc GROUP BY doc_id),
 sig AS (
-  SELECT doc_id, {_sql_minhash_exprs().replace('sh,', 'sh,')}
-  FROM shl WHERE len(sh) > 0
+  SELECT doc_id, {_sql_minhash_exprs()}
+  FROM hashed GROUP BY doc_id
 ),
 bands AS ({_sql_band_rows()}),
 cand AS (
@@ -361,8 +412,23 @@ def cosine_expr(a, b):
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def vec_norm(col):
+    """Euclidean norm of a vector column — computed ONCE per vector in
+    the per-side projection so every pair join pays one dot, not three.
+    sqrt/mul/div are each correctly-rounded IEEE ops, so
+    dot/(norm_a*norm_b) is bit-identical to the inline cosine_expr."""
+    return F.sqrt(_dot(col, col))
+
+
+def cosine_pair(a_vec, b_vec, a_norm, b_norm):
+    """Pair-side cosine given precomputed per-vector norms: 1 array pass."""
+    return _dot(a_vec, b_vec) / (a_norm * b_norm)
+
+
 def q_embedding_dup_pairs(spark, sf_dir):
-    emb = read_spread(spark, f"{sf_dir}/embeddings.parquet")
+    emb = read_spread(spark, f"{sf_dir}/embeddings.parquet").withColumn(
+        "nrm", vec_norm(F.col("embedding"))
+    )
     a = emb.alias("a")
     b = emb.alias("b")
     return (
@@ -370,7 +436,12 @@ def q_embedding_dup_pairs(spark, sf_dir):
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            r4(cosine_expr(F.col("a.embedding"), F.col("b.embedding"))).alias("cosine"),
+            r4(
+                cosine_pair(
+                    F.col("a.embedding"), F.col("b.embedding"),
+                    F.col("a.nrm"), F.col("b.nrm"),
+                )
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
     )

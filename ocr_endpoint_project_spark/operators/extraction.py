@@ -247,17 +247,24 @@ WITH toks AS (
 ), mapped AS (
   SELECT *, list_sort(list_distinct(list_concat(gt_t, pred_t))) AS vocab FROM toks
 ), strs AS (
+  -- chr(33 + pos) stays a SINGLE UTF-8 byte only while pos <= 94
+  -- (codepoints <= 127); beyond that DuckDB's byte-based levenshtein
+  -- silently stops equaling token edit distance. Guard: vocab overflow
+  -- emits NULL strings, which the WER expression turns into the -1.0
+  -- sentinel — guaranteed checker FAIL instead of a silent wrong oracle.
   SELECT doc_id, gt, pred, gt_t, pred_t, len(gt_t) AS n_gt,
-         array_to_string(list_transform(gt_t,
-             t -> chr(33 + list_position(vocab, t))), '') AS gs,
-         array_to_string(list_transform(pred_t,
-             t -> chr(33 + list_position(vocab, t))), '') AS ps
+         CASE WHEN len(vocab) > 94 THEN NULL ELSE
+           array_to_string(list_transform(gt_t,
+               t -> chr(33 + list_position(vocab, t))), '') END AS gs,
+         CASE WHEN len(vocab) > 94 THEN NULL ELSE
+           array_to_string(list_transform(pred_t,
+               t -> chr(33 + list_position(vocab, t))), '') END AS ps
   FROM mapped
 )
 """
 
 _SQL_WER_EXPR = (
-    "CASE WHEN n_gt = 0 THEN 0.0 ELSE "
+    "CASE WHEN n_gt > 0 AND gs IS NULL THEN -1.0 WHEN n_gt = 0 THEN 0.0 ELSE "
     + sql_r4("CAST(levenshtein(gs, ps) AS DOUBLE) / n_gt * 100.0")
     + " END"
 )

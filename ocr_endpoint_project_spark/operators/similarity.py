@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ._io import read_spread
 from ..functions.text import r4
-from .dedup import COSINE_DUP_THRESHOLD, _pin, cosine_expr
+from .dedup import COSINE_DUP_THRESHOLD, _pin, cosine_pair, vec_norm
 
 TOP_K = 5
 N_QUERIES = 10
@@ -69,19 +69,26 @@ def ivf_centroids(emb: DataFrame) -> DataFrame:
 def ivf_assign(emb: DataFrame) -> DataFrame:
     """Assign every vector to its nearest centroid (argmin quantized L2).
 
-    Returns (vec_id, embedding, cell, dist_q). Broadcast nested-loop over
-    the k-cell centroid table, then a per-vector argmin window — the
+    Returns (vec_id, embedding, nrm, cell, dist_q). Broadcast nested-loop
+    over the k-cell centroid table, then a per-vector argmin window — the
     standard IVF assignment shape, O(N*k) map-side flops and one window.
+    The vector norm rides along so the pinned assignment table (the IVF
+    index) carries it: every downstream pair cosine is one dot, not three.
     """
     cent = ivf_centroids(emb)
-    vq = emb.select("vec_id", "embedding", _quant(F.col("embedding")).alias("eq"))
+    vq = emb.select(
+        "vec_id",
+        "embedding",
+        vec_norm(F.col("embedding")).alias("nrm"),
+        _quant(F.col("embedding")).alias("eq"),
+    )
     dist = F.aggregate(
         F.zip_with("eq", "centroid_q", lambda x, c: (x * 10 - c) * (x * 10 - c)),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
     scored = vq.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "embedding", "cell", dist.alias("dist_q")
+        "vec_id", "embedding", "nrm", "cell", dist.alias("dist_q")
     )
     w = Window.partitionBy("vec_id").orderBy(F.asc("dist_q"), F.asc("cell"))
     return (
@@ -136,17 +143,25 @@ SELECT vec_id, cell, dist_q FROM assigned
 
 
 def q_ann_bruteforce_topk(spark, sf_dir):
-    emb = _emb(spark, sf_dir)
+    emb = _emb(spark, sf_dir).withColumn("nrm", vec_norm(F.col("embedding")))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
-    cand = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    cand = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
     scored = (
         cand.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            r4(cosine_expr(F.col("q_emb"), F.col("c_emb"))).alias("cosine"),
+            r4(
+                cosine_pair(F.col("q_emb"), F.col("c_emb"), F.col("q_nrm"), F.col("c_nrm"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -183,11 +198,13 @@ def q_ann_ivf_bucketed(spark, sf_dir):
         F.col("vec_id").alias("query_id"),
         F.col("cell"),
         F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     cand = assigned.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("cell").alias("c_cell"),
         F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
     )
     scored = (
         cand.join(
@@ -198,7 +215,9 @@ def q_ann_ivf_bucketed(spark, sf_dir):
             "query_id",
             "cell",
             "neighbor_id",
-            r4(cosine_expr(F.col("q_emb"), F.col("c_emb"))).alias("cosine"),
+            r4(
+                cosine_pair(F.col("q_emb"), F.col("c_emb"), F.col("q_nrm"), F.col("c_nrm"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -234,7 +253,7 @@ FROM (
 
 def q_embedding_dup_bucketed(spark, sf_dir):
     assigned = _pin(ivf_assign(_emb(spark, sf_dir)), "ivf_assigned").select(
-        "vec_id", "cell", "embedding"
+        "vec_id", "cell", "embedding", "nrm"
     )
     a = assigned.alias("a")
     b = assigned.alias("b")
@@ -248,7 +267,12 @@ def q_embedding_dup_bucketed(spark, sf_dir):
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.cell").alias("cell"),
-            r4(cosine_expr(F.col("a.embedding"), F.col("b.embedding"))).alias("cosine"),
+            r4(
+                cosine_pair(
+                    F.col("a.embedding"), F.col("b.embedding"),
+                    F.col("a.nrm"), F.col("b.nrm"),
+                )
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
     )
@@ -273,14 +297,19 @@ def ivf_assign_multi(emb: DataFrame, n_probes: int = N_PROBES) -> DataFrame:
     additional probes trades ~n_probes x scan cost for recall lost to
     hard cell boundaries — the standard IVF recall knob."""
     cent = ivf_centroids(emb)
-    vq = emb.select("vec_id", "embedding", _quant(F.col("embedding")).alias("eq"))
+    vq = emb.select(
+        "vec_id",
+        "embedding",
+        vec_norm(F.col("embedding")).alias("nrm"),
+        _quant(F.col("embedding")).alias("eq"),
+    )
     dist = F.aggregate(
         F.zip_with("eq", "centroid_q", lambda x, c: (x * 10 - c) * (x * 10 - c)),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
     scored = vq.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "embedding", "cell", dist.alias("dist_q")
+        "vec_id", "embedding", "nrm", "cell", dist.alias("dist_q")
     )
     w = Window.partitionBy("vec_id").orderBy(F.asc("dist_q"), F.asc("cell"))
     return (
@@ -298,11 +327,13 @@ def q_ann_ivf_multiprobe(spark, sf_dir):
         F.col("vec_id").alias("query_id"),
         F.col("cell"),
         F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     cand = _pin(ivf_assign(emb), "ivf_assigned").select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("cell").alias("c_cell"),
         F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
     )
     scored = cand.join(
         F.broadcast(probes),
@@ -310,7 +341,9 @@ def q_ann_ivf_multiprobe(spark, sf_dir):
     ).select(
         "query_id",
         "neighbor_id",
-        r4(cosine_expr(F.col("q_emb"), F.col("c_emb"))).alias("cosine"),
+        r4(
+            cosine_pair(F.col("q_emb"), F.col("c_emb"), F.col("q_nrm"), F.col("c_nrm"))
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -501,26 +534,52 @@ SRP_PLANES = _srp_planes()
 
 
 def srp_signature(eq_col):
-    """SRP signature of a quantized (int) embedding column."""
-    sig = F.lit(0).cast("long")
-    for b, row in enumerate(SRP_PLANES):
-        plane = F.array(*[F.lit(s) for s in row])
-        dot = F.aggregate(
-            F.zip_with(eq_col, plane, lambda x, s: x * s),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        sig = sig + F.when(dot > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-    return sig
+    """SRP signature of a quantized (int) embedding column.
+
+    Fused single-expression form: ONE 2-D plane literal, an outer
+    zip_with over (plane row, bit weight) with an inner fold for each
+    plane dot, folded once into the signature. The 24 x 64 multiply-adds
+    are inherent; what this saves vs 24 separate named aggregates is
+    (a) 24 re-evaluations of ``eq_col`` when Catalyst collapses the
+    projection into each aggregate, and (b) a 24-deep Add expression tree
+    re-walked per row. Callers should still pass a materialized ``eq``
+    COLUMN, not the quantize expression, to keep (a) zero-cost.
+    """
+    planes2d = F.array(
+        *[F.array(*[F.lit(s) for s in row]) for row in SRP_PLANES]
+    )
+    weights = F.array(*[F.lit(1 << b).cast("long") for b in range(SRP_BITS)])
+    bit_flags = F.zip_with(
+        planes2d,
+        weights,
+        lambda row, w: F.when(
+            F.aggregate(
+                F.zip_with(eq_col, row, lambda x, s: x * s),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            > 0,
+            w,
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bit_flags, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
 def q_embedding_srp_pairs(spark, sf_dir):
     emb = _emb(spark, sf_dir)
+    # quantize ONCE into a column, sign it, and store the vector norm in
+    # the pinned signature table: the pair join downstream pays a single
+    # dot per candidate
+    eq = emb.select(
+        "vec_id", "embedding", vec_norm(F.col("embedding")).alias("nrm"),
+        _quant(F.col("embedding")).alias("eq"),
+    )
     sig = _pin(
-        emb.select(
+        eq.select(
             "vec_id",
             "embedding",
-            srp_signature(_quant(F.col("embedding"))).alias("sig"),
+            "nrm",
+            srp_signature(F.col("eq")).alias("sig"),
         ),
         "srp_sig",
     )
@@ -528,6 +587,7 @@ def q_embedding_srp_pairs(spark, sf_dir):
     bands = sig.select(
         "vec_id",
         "embedding",
+        "nrm",
         F.explode(
             F.array(
                 *[
@@ -542,7 +602,7 @@ def q_embedding_srp_pairs(spark, sf_dir):
                 ]
             )
         ).alias("band"),
-    ).select("vec_id", "embedding", "band.band_id", "band.band_key")
+    ).select("vec_id", "embedding", "nrm", "band.band_id", "band.band_key")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -555,7 +615,12 @@ def q_embedding_srp_pairs(spark, sf_dir):
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            r4(cosine_expr(F.col("a.embedding"), F.col("b.embedding"))).alias("cosine"),
+            r4(
+                cosine_pair(
+                    F.col("a.embedding"), F.col("b.embedding"),
+                    F.col("a.nrm"), F.col("b.nrm"),
+                )
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
         .distinct()

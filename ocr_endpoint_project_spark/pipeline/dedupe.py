@@ -48,10 +48,18 @@ def resolve_clusters(pairs: DataFrame, docs: DataFrame) -> DataFrame:
     )
 
 
-def dedupe_corpus(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+def dedupe_corpus(
+    docs: DataFrame, pairs: DataFrame | None = None, clusters: DataFrame | None = None
+) -> DataFrame:
     """Keep one representative per near-dup cluster (the min doc_id),
-    preserving every original column plus cluster_id/cluster_size."""
-    clusters = resolve_clusters(pairs, docs)
+    preserving every original column plus cluster_id/cluster_size.
+
+    Pass ``clusters`` (a resolve_clusters result, e.g. re-read from its
+    written parquet) to reuse an existing resolution — the iterative
+    component loop runs actions per round, so recomputing it per consumer
+    doubles the job's work."""
+    if clusters is None:
+        clusters = resolve_clusters(pairs, docs)
     keepers = clusters.filter(F.col("is_keeper")).select(
         "doc_id", "cluster_id", "cluster_size"
     )

@@ -162,3 +162,45 @@ def test_cc_long_chain_pointer_jumping(spark):
     n = 200
     labels = _cc(spark, n, [(i, i + 1) for i in range(n - 1)])
     assert all(labels[i] == 0 for i in range(n))
+
+
+def test_hot_shingle_df_cap_bounds_candidates(spark, monkeypatch, tmp_path):
+    """A stop-shingle present in 30% of docs must NOT blow up the
+    shingle self-join: with the df cap it contributes zero pairs, and
+    unrelated docs sharing only the hot shingle never become candidates.
+    (Reference analog: eligibility filtering before expensive work,
+    pages/parallel_ocr_test.py:148-171.)"""
+    import ocr_endpoint_project_spark.operators.dedup as dd
+
+    n = 100
+    hot = "alpha beta gamma"  # one shared 3-gram across 30% of docs
+    rows = []
+    for i in range(n):
+        unique = f"doc{i} unique{i} text{i} body{i} words{i} here{i}"
+        text = f"{hot} {unique}" if i < 30 else unique
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "documents.parquet")
+    docs.write.mode("overwrite").parquet(path)
+
+    monkeypatch.setattr(dd, "SHINGLE_DF_CAP", 10)
+    monkeypatch.setattr(dd, "_docs", lambda s, d: s.read.parquet(path))
+
+    # Jaccard path: the hot shingle is every candidate's ONLY overlap,
+    # so with the cap binding there are no pairs at all
+    assert dd.q_dedup_ngram_jaccard(spark, "ignored").count() == 0
+
+    # candidate generation itself stays bounded: the exploded capped
+    # stream carries no hot-shingle rows
+    raw = dd._docs(spark, "ignored").select(
+        "doc_id", F.explode(dd._shingles(dd.norm_tokens("text"))).alias("s")
+    )
+    capped = dd._cap_df(raw)
+    assert capped.filter(F.col("s") == hot).count() == 0
+    # every sub-cap shingle survives
+    assert capped.count() == raw.filter(F.col("s") != hot).count()
+
+    # LSH path: signatures are computed over the capped stream, so the
+    # hot shingle can't glue unrelated docs into one band bucket
+    pairs = dd.minhash_lsh_pairs(dd._docs(spark, "ignored"))
+    assert pairs.count() == 0
