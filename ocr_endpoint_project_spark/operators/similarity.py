@@ -445,8 +445,58 @@ def q_ann_kmeans_assign(spark, sf_dir):
     return kmeans_assign(_emb(spark, sf_dir)).select("vec_id", "cell", "dist_q")
 
 
-def _sql_kmeans_assign() -> str:
-    """DuckDB twin: unrolled Lloyd iterations as a finite CTE chain."""
+KMEANS_K = 8
+
+
+def kmeans_seed_centroids(vq: DataFrame, k: int) -> DataFrame:
+    """Deterministic data-derived seeds for unlabeled corpora: the k
+    vectors whose md5(vec_id) rank smallest become cells 0..k-1.
+
+    md5-hex ordering is plain ASCII-lexicographic in both engines, so the
+    seed set (and hence the whole Lloyd trajectory) is engine-exact.
+    orderBy().limit(k) compiles to TakeOrderedAndProject — a distributed
+    top-k, no global sort shuffle — and the row_number window then runs
+    on k rows only. Seeds are stored at the 1e-4 centroid scale (eq*10).
+    """
+    seeds = (
+        vq.select("vec_id", "eq")
+        .withColumn("m", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("m", "vec_id")
+        .limit(k)
+    )
+    w = Window.orderBy("m", "vec_id")
+    return seeds.select(
+        (F.row_number().over(w) - 1).cast("long").alias("cell"),
+        F.transform("eq", lambda x: x * 10).alias("centroid_q"),
+    )
+
+
+def kmeans_assign_k(emb: DataFrame, k: int, rounds: int = KMEANS_ROUNDS) -> DataFrame:
+    """Lloyd's algorithm with a free ``k`` — no label column required.
+
+    Same exact-integer scheme as kmeans_assign, but seeded from the data
+    itself (md5-ranked vec_ids), so the index trains on any corpus. Cells
+    that lose all members simply drop out of the next round's centroid
+    table (mirrored in the oracle's CTE replay).
+    """
+    vq = emb.select("vec_id", "embedding", _quant(F.col("embedding")).alias("eq"))
+    cent = kmeans_seed_centroids(vq, k)
+    for _ in range(rounds):
+        cent = _centroids_of(_assign_to(vq, cent))
+    return _assign_to(vq, cent)
+
+
+def q_ann_kmeans_k8_assign(spark, sf_dir):
+    return kmeans_assign_k(_emb(spark, sf_dir), KMEANS_K).select(
+        "vec_id", "cell", "dist_q"
+    )
+
+
+def _sql_kmeans_chain(seed_ctes: str, rounds: int = KMEANS_ROUNDS) -> str:
+    """DuckDB Lloyd replay: ``seed_ctes`` must define ``vq`` (vec_id,
+    embedding, eq) and ``cent0`` (cell, centroid_q at 1e-4 scale); the
+    chain unrolls ``rounds`` assign/update iterations plus the final
+    assignment — a finite CTE chain replaying the exact trajectory."""
     assign = """
 , scored{i} AS (
   SELECT v.vec_id, v.eq, c.cell,
@@ -472,13 +522,28 @@ def _sql_kmeans_assign() -> str:
          list(CAST(floor(c_num * 10.0 / n + 0.5) AS BIGINT) ORDER BY dim) AS centroid_q
   FROM per{i} GROUP BY cell
 )"""
-    chain = """
+    chain = seed_ctes
+    for i in range(rounds):
+        chain += assign.format(i=i) + update.format(i=i, inext=i + 1)
+    chain += assign.format(i=rounds)
+    chain += f"\nSELECT vec_id, cell, dist_q FROM assigned{rounds}\n"
+    return chain
+
+
+_SQL_VQ_CTE = """
 WITH vq AS (
   SELECT vec_id, embedding,
          list_transform(embedding,
              x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS eq
   FROM embeddings
-), seed_dims AS (
+)"""
+
+
+def _sql_kmeans_assign() -> str:
+    """Label-seeded Lloyd replay (the original ivf_centroids seeding)."""
+    seed = (
+        _SQL_VQ_CTE
+        + """, seed_dims AS (
   SELECT label AS cell, unnest(
            list_transform(embedding,
                x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))) AS eqv,
@@ -492,11 +557,25 @@ WITH vq AS (
          list(CAST(floor(c_num * 10.0 / n + 0.5) AS BIGINT) ORDER BY dim) AS centroid_q
   FROM seed_per GROUP BY cell
 )"""
-    for i in range(KMEANS_ROUNDS):
-        chain += assign.format(i=i) + update.format(i=i, inext=i + 1)
-    chain += assign.format(i=KMEANS_ROUNDS)
-    chain += f"\nSELECT vec_id, cell, dist_q FROM assigned{KMEANS_ROUNDS}\n"
-    return chain
+    )
+    return _sql_kmeans_chain(seed)
+
+
+def _sql_kmeans_k_assign(k: int) -> str:
+    """md5-seeded Lloyd replay: the k smallest md5(vec_id) vectors become
+    cells 0..k-1 (ASCII-lexicographic md5-hex order — engine-exact)."""
+    seed = (
+        _SQL_VQ_CTE
+        + f""", seeds AS (
+  SELECT vec_id, eq, md5(CAST(vec_id AS VARCHAR)) AS m FROM vq
+  ORDER BY m, vec_id LIMIT {k}
+), cent0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY m, vec_id) - 1 AS BIGINT) AS cell,
+         list_transform(eq, x -> x * 10) AS centroid_q
+  FROM seeds
+)"""
+    )
+    return _sql_kmeans_chain(seed)
 
 
 # ---------------------------------------------------------------------------
@@ -689,6 +768,7 @@ QUERIES = {
     "ann_ivf_bucketed": q_ann_ivf_bucketed,
     "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
     "ann_kmeans_assign": q_ann_kmeans_assign,
+    "ann_kmeans_k8_assign": q_ann_kmeans_k8_assign,
     "ann_centroid_per_cell": q_centroid_per_cell,
     "dedup_embedding_pairs_bucketed": q_embedding_dup_bucketed,
     "dedup_embedding_srp_pairs": q_embedding_srp_pairs,
@@ -700,6 +780,7 @@ ORACLES = {
     "ann_ivf_bucketed": SQL_ANN_IVF,
     "ann_ivf_multiprobe": SQL_ANN_IVF_MULTIPROBE,
     "ann_kmeans_assign": _sql_kmeans_assign(),
+    "ann_kmeans_k8_assign": _sql_kmeans_k_assign(KMEANS_K),
     "ann_centroid_per_cell": SQL_CENTROID,
     "dedup_embedding_pairs_bucketed": SQL_EMBEDDING_DUP_BUCKETED,
     "dedup_embedding_srp_pairs": _sql_srp_pairs(),

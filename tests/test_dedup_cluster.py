@@ -204,3 +204,26 @@ def test_hot_shingle_df_cap_bounds_candidates(spark, monkeypatch, tmp_path):
     # hot shingle can't glue unrelated docs into one band bucket
     pairs = dd.minhash_lsh_pairs(dd._docs(spark, "ignored"))
     assert pairs.count() == 0
+
+
+def test_kmeans_k_assign_unlabeled(spark):
+    """kmeans_assign_k needs no label column: every vector is assigned,
+    cells come from the md5-seeded 0..k-1 range, and the trajectory is
+    deterministic across runs."""
+    from ocr_endpoint_project_spark.operators.similarity import (
+        KMEANS_K,
+        _emb,
+        kmeans_assign_k,
+    )
+
+    emb = _emb(spark, SF).drop("label")  # genuinely unlabeled corpus
+    out = kmeans_assign_k(emb, KMEANS_K)
+    rows = {r["vec_id"]: r["cell"] for r in out.select("vec_id", "cell").collect()}
+    assert len(rows) == emb.count()  # total assignment
+    assert set(rows.values()) <= set(range(KMEANS_K))
+    assert len(set(rows.values())) > 1  # actually partitions the space
+    again = {
+        r["vec_id"]: r["cell"]
+        for r in kmeans_assign_k(emb, KMEANS_K).select("vec_id", "cell").collect()
+    }
+    assert rows == again
