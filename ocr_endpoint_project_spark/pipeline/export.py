@@ -55,3 +55,81 @@ def export_results(results: DataFrame, out_dir: str) -> dict:
     with open(os.path.join(out_dir, "summary.json"), "w", encoding="utf-8") as f:
         json.dump(summary, f, indent=2, sort_keys=True)
     return summary
+
+
+def decision_report(spark, sf_dir: str, out_path: str) -> str:
+    """Render the ranking aggregates into a human-readable Markdown
+    decision report.
+
+    Mirrors ``scripts/generate_decision_report.py:685-712`` (the
+    reference writes ``ANALYSE_DECISIONNELLE.md`` from the same class of
+    aggregates). Every number comes from the oracle-checked ranking
+    queries — weighted score (W6), Borda (W7), Condorcet (W8), success
+    rate (A5); this function is k-row driver-side formatting only
+    (k = number of models), the idiomatic place for decision output.
+
+    Returns the Markdown text (also written to ``out_path``).
+    """
+    from ..operators.analytics import (
+        q_borda_rank,
+        q_condorcet_wins,
+        q_success_rate,
+        q_weighted_score,
+    )
+
+    ws = {r["event_type"]: r for r in q_weighted_score(spark, sf_dir).collect()}
+    borda = {
+        r["event_type"]: r["borda_points"] for r in q_borda_rank(spark, sf_dir).collect()
+    }
+    cond = {r["event_type"]: r["wins"] for r in q_condorcet_wins(spark, sf_dir).collect()}
+    # top user cohorts by volume: k rows after the aggregate, distributed
+    # sort+limit (TakeOrderedAndProject), never a full collect
+    users = (
+        q_success_rate(spark, sf_dir)
+        .orderBy(F.desc("total"), F.asc("user_id"))
+        .limit(10)
+        .collect()
+    )
+
+    models = sorted(ws)
+    # definite winner for the report: weighted score, ties broken by
+    # Borda points then name (the tie->None semantics of A8 stay in the
+    # queryable operator; a report needs a recommendation)
+    winner = max(models, key=lambda m: (ws[m]["weighted_score"], borda.get(m, 0.0), m))
+
+    lines = [
+        "# Decision report",
+        "",
+        f"_Source tables: `{sf_dir}` — all figures from oracle-checked queries._",
+        "",
+        "## Model ranking",
+        "",
+        "| model | weighted_score | s_value | s_volume | borda_points | condorcet_wins |",
+        "|---|---|---|---|---|---|",
+    ]
+    for m in sorted(models, key=lambda m: -ws[m]["weighted_score"]):
+        r = ws[m]
+        lines.append(
+            f"| {m} | {r['weighted_score']:.4f} | {r['s_value']:.4f} "
+            f"| {r['s_volume']:.4f} | {borda.get(m, 0.0):.4f} | {cond.get(m, 0)} |"
+        )
+    lines += [
+        "",
+        f"**Winner: {winner}** — weighted score "
+        f"{ws[winner]['weighted_score']:.4f}, Borda {borda.get(winner, 0.0):.4f}, "
+        f"{cond.get(winner, 0)} Condorcet win(s).",
+        "",
+        "## Reliability — success rate by user (top 10 by volume)",
+        "",
+        "| user_id | runs | errors | success_rate_pct |",
+        "|---|---|---|---|",
+    ]
+    for r in users:
+        lines.append(
+            f"| {r['user_id']} | {r['total']} | {r['errors']} | {r['success_rate_pct']:.2f} |"
+        )
+    text = "\n".join(lines) + "\n"
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w", encoding="utf-8") as f:
+        f.write(text)
+    return text

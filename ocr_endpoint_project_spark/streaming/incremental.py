@@ -64,6 +64,7 @@ def stream_extract_with_callbacks(
     num_partitions: int = DEFAULT_PARTITIONS,
     available_now: bool = True,
     callback_fn=None,
+    lineage_dir: str | None = None,
 ) -> StreamingQuery:
     """Callback sink (S9) + progress reporting (O10): the reference's
     completion webhook (``cv_api/main.py:199-220``) and per-job progress
@@ -74,8 +75,15 @@ def stream_extract_with_callbacks(
     The per-batch summary agg collects k rows (k = 1) — driver-side by
     design, like any foreachBatch commit hook; the data path itself never
     leaves executors.
+
+    With ``lineage_dir`` set, each micro-batch also appends the SAME
+    per-partition lineage rows the batch path writes
+    (``pipeline/lineage.py``), run_id = ``batch-{batch_id}`` — so batch
+    and streaming runs are auditable in one table with one schema.
     """
     from pyspark.sql import functions as F
+
+    from ..pipeline.lineage import lineage_rows
 
     pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
     extracted = run_extraction(pages, num_partitions=num_partitions)
@@ -83,6 +91,12 @@ def stream_extract_with_callbacks(
     def _handle(batch_df, batch_id: int) -> None:
         batch_df.persist()
         batch_df.write.mode("append").parquet(out_dir)
+        if lineage_dir is not None:
+            # same commit discipline as the batch path: lineage appended
+            # only after the data write returned
+            lineage_rows(batch_df, run_id=f"batch-{batch_id}").write.mode(
+                "append"
+            ).parquet(lineage_dir)
         row = batch_df.agg(
             F.count(F.lit(1)).alias("doc_count"),
             F.sum(F.when(F.col("status") == "succeeded", 1).otherwise(0)).alias("ok_count"),

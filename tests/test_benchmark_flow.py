@@ -55,3 +55,27 @@ def test_model_benchmark_and_export(spark, tmp_path):
     assert csv.count() == 2 * n_pages
     results.unpersist()
     pages.unpersist()
+
+
+def test_decision_report_renders_table_and_winner(spark, tmp_path):
+    """The Markdown decision report carries the per-model ranking table
+    and a definite winner line (reference
+    scripts/generate_decision_report.py:685-712)."""
+    from ocr_endpoint_project_spark.pipeline.export import decision_report
+
+    out = str(tmp_path / "report.md")
+    text = decision_report(spark, "/root/testdata/sf0.001", out)
+    with open(out, encoding="utf-8") as f:
+        assert f.read() == text
+
+    assert "## Model ranking" in text
+    assert "| model | weighted_score |" in text
+    # at least one data row in the table (a pipe-delimited line with a
+    # 4-decimal weighted score)
+    assert any(
+        line.startswith("| ") and line.count("|") == 7
+        for line in text.splitlines()
+        if "weighted_score" not in line and "---" not in line
+    )
+    assert "**Winner: " in text
+    assert "success rate by user" in text

@@ -183,3 +183,38 @@ def test_windowed_watermark_drops_late_data(spark, tmp_path):
     # the 05:00 window finalized with w1 + w2
     win5 = [r for r in rows if r["window_start"].minute == 5]
     assert len(win5) == 1 and win5[0]["n_docs"] == 2
+
+
+def test_streaming_lineage_matches_batch_schema(spark, tmp_path):
+    """Streaming micro-batches emit the SAME lineage rows as the batch
+    path — one audit table, one schema, across both execution modes."""
+    from ocr_endpoint_project_spark.pipeline.lineage import run_with_lineage
+    from ocr_endpoint_project_spark.streaming import stream_extract_with_callbacks
+
+    pages = corpus_pages(spark, n=30, seed=3).cache()
+
+    # batch mode
+    batch_out = str(tmp_path / "batch")
+    run_with_lineage(spark, pages, batch_out, run_id="run-1", num_partitions=8)
+    batch_lin = spark.read.parquet(batch_out + "/lineage")
+
+    # streaming mode over the same input
+    in_dir = str(tmp_path / "in")
+    pages.write.mode("append").parquet(in_dir)
+    lin_dir = str(tmp_path / "stream_lineage")
+    q = stream_extract_with_callbacks(
+        spark, in_dir, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        str(tmp_path / "cb"), num_partitions=8, lineage_dir=lin_dir,
+    )
+    q.awaitTermination(120)
+    stream_lin = spark.read.parquet(lin_dir)
+
+    assert stream_lin.schema == batch_lin.schema
+    # identical per-partition content facts (counts + order-insensitive
+    # checksum) — only run ids and timestamps differ between modes
+    keys = ["partition_id", "doc_count", "ok_count", "failed_count", "byte_count", "checksum"]
+    b = {tuple(r[k] for k in keys) for r in batch_lin.select(*keys).collect()}
+    s = {tuple(r[k] for k in keys) for r in stream_lin.select(*keys).collect()}
+    assert b == s
+    assert all(r["run_id"].startswith("batch-") for r in stream_lin.collect())
+    pages.unpersist()
