@@ -238,22 +238,20 @@ FROM hashed GROUP BY doc_id
 def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     """MinHash-LSH verified near-dup pairs over any (doc_id, text) frame.
 
-    ONE tokenize+shingle pass feeds both legs: the pinned exploded
-    shingle stream is df-capped once (stop-shingles carry no signal and
-    blow up O(df^2) in any shingle-keyed join), then regrouped into the
-    verify arrays and hashed into the signature computation.
+    ONE tokenize+shingle pass feeds both legs: the pinned per-doc
+    shingle arrays serve the verify join directly, and their exploded
+    stream is df-capped (stop-shingles carry no signal and blow up
+    O(df^2) in any shingle-keyed join) before signature hashing. The cap
+    guards exactly where the blowup lives — the shingle-keyed signature/
+    band path; the verify step computes exact Jaccard over the FULL
+    shingle sets and only ever touches banding-bounded candidate pairs,
+    so it needs no cap (the classical stop-shingle design).
     """
-    raw = _pin(
-        docs.select("doc_id", F.explode(_shingles(norm_tokens("text"))).alias("s")),
-        "lsh_shingles_raw",
-    )
-    shc = _cap_df(raw)
-    # per-doc capped shingle ARRAYS for the exact-Jaccard verify step
-    # (order-insensitive set ops downstream, collect_list order is fine)
     sh = _pin(
-        shc.groupBy("doc_id").agg(F.collect_list("s").alias("sh")),
+        docs.select("doc_id", _shingles(norm_tokens("text")).alias("sh")),
         "lsh_verify_shingles",
     )
+    shc = _cap_df(sh.select("doc_id", F.explode("sh").alias("s")))
     hashed = shc.select("doc_id", shingle_hash32(F.col("s")).alias("h"))
     sig = _pin(
         hashed.groupBy("doc_id").agg(
@@ -334,7 +332,7 @@ def _sql_band_rows() -> str:
 SQL_MINHASH_LSH = f"""
 WITH {_sql_capped_shingle_ctes()},
 {_SQL_HASHED_CTE},
-shl AS (SELECT doc_id, list(s) AS sh FROM shc GROUP BY doc_id),
+shl AS (SELECT doc_id, {_sql_shingles()} AS sh FROM toks),
 sig AS (
   SELECT doc_id, {_sql_minhash_exprs()}
   FROM hashed GROUP BY doc_id

@@ -86,17 +86,26 @@ def q_doc_embed_topk(spark, sf_dir):
     """Doc-level ANN: cosine top-k over the hash-projection vectors."""
     v = _vectors_df(spark, sf_dir)
     q = v.filter(F.col("doc_id") < N_QUERY_DOCS)
-    q = q.select(F.col("doc_id").alias("query_id"), *[F.col(f"e{j}").alias(f"q{j}") for j in range(EMBED_DIM)])
-    c = v.select(F.col("doc_id").alias("neighbor_id"), *[F.col(f"e{j}").alias(f"c{j}") for j in range(EMBED_DIM)])
+    # norms computed ONCE per side before the join (same left-to-right
+    # IEEE sum order as the inline form, so values are bit-identical);
+    # the N x Q pair expression is then a single 16-term dot
+    q = q.select(
+        F.col("doc_id").alias("query_id"),
+        *[F.col(f"e{j}").alias(f"q{j}") for j in range(EMBED_DIM)],
+        F.sqrt(sum(F.col(f"e{j}") * F.col(f"e{j}") for j in range(EMBED_DIM))).alias("q_nrm"),
+    )
+    c = v.select(
+        F.col("doc_id").alias("neighbor_id"),
+        *[F.col(f"e{j}").alias(f"c{j}") for j in range(EMBED_DIM)],
+        F.sqrt(sum(F.col(f"e{j}") * F.col(f"e{j}") for j in range(EMBED_DIM))).alias("c_nrm"),
+    )
     dot = sum(F.col(f"q{j}") * F.col(f"c{j}") for j in range(EMBED_DIM))
-    qn = sum(F.col(f"q{j}") * F.col(f"q{j}") for j in range(EMBED_DIM))
-    cn = sum(F.col(f"c{j}") * F.col(f"c{j}") for j in range(EMBED_DIM))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            r4(dot / (F.sqrt(qn) * F.sqrt(cn))).alias("cosine"),
+            r4(dot / (F.col("q_nrm") * F.col("c_nrm"))).alias("cosine"),
         )
     )
     from pyspark.sql import Window
