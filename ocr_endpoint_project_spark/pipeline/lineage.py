@@ -143,3 +143,45 @@ def run_with_lineage(
         "extracted_dir": extracted_dir,
         "lineage_dir": lineage_dir,
     }
+
+
+def job_progress(
+    spark: SparkSession, lineage_dir: str, num_partitions: int = DEFAULT_PARTITIONS
+) -> dict:
+    """Stage progress for a (possibly running or resumable) extraction job.
+
+    The reference reports per-job stage percentages while processing
+    (``cv_api/main.py:223-301``: preparing 5% -> ocr 35% -> llm 75% ->
+    completed 100%). In a distributed job the honest progress unit is the
+    PARTITION: each succeeded partition has passed every stage, so
+    ``percent = succeeded_partitions / num_partitions`` — derived from
+    the same lineage table that drives checkpoint resume, never from
+    driver-side mutable state.
+
+    Returns ``{"stage", "percent", "partitions_done", "partitions_total",
+    "docs_done"}``.
+    """
+    done = resume_filter(spark, lineage_dir)
+    if done is None:
+        return {
+            "stage": "preparing",
+            "percent": 0.0,
+            "partitions_done": 0,
+            "partitions_total": num_partitions,
+            "docs_done": 0,
+        }
+    lin = latest_lineage(spark.read.parquet(lineage_dir)).filter(
+        F.col("status") == STATUS_SUCCEEDED
+    )
+    row = lin.agg(
+        F.count(F.lit(1)).alias("p"), F.sum("doc_count").alias("docs")
+    ).collect()[0]
+    n_done = int(row["p"] or 0)
+    pct = round(min(100.0, 100.0 * n_done / num_partitions), 1)
+    return {
+        "stage": "completed" if n_done >= num_partitions else "extracting",
+        "percent": pct,
+        "partitions_done": n_done,
+        "partitions_total": num_partitions,
+        "docs_done": int(row["docs"] or 0),
+    }

@@ -88,6 +88,13 @@ def stream_extract_with_callbacks(
     pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
     extracted = run_extraction(pages, num_partitions=num_partitions)
 
+    # cumulative progress across micro-batches (foreachBatch runs on the
+    # driver, so a plain closure counter is exact per query) — the
+    # streaming analog of the reference's per-job progress percentages
+    # (cv_api/main.py:223-301); with an unbounded stream there is no
+    # denominator, so progress is reported as docs-processed-so-far
+    totals = {"docs": 0}
+
     def _handle(batch_df, batch_id: int) -> None:
         batch_df.persist()
         batch_df.write.mode("append").parquet(out_dir)
@@ -104,6 +111,7 @@ def stream_extract_with_callbacks(
             F.sum(F.coalesce(F.col("doc_bytes"), F.lit(0))).alias("byte_count"),
             F.sum(F.coalesce(F.col("cost_usd"), F.lit(0.0))).alias("total_cost_usd"),
         ).collect()[0]
+        totals["docs"] += int(row["doc_count"] or 0)
         summary = {
             "batch_id": int(batch_id),
             "doc_count": int(row["doc_count"] or 0),
@@ -112,11 +120,13 @@ def stream_extract_with_callbacks(
             "byte_count": int(row["byte_count"] or 0),
             "total_cost_usd": float(row["total_cost_usd"] or 0.0),
             "status": "succeeded" if not (row["failed_count"] or 0) else "partial",
+            "docs_cumulative": totals["docs"],
         }
         spark.createDataFrame(
             [summary],
             "batch_id long, doc_count long, ok_count long, failed_count long, "
-            "byte_count long, total_cost_usd double, status string",
+            "byte_count long, total_cost_usd double, status string, "
+            "docs_cumulative long",
         ).withColumn("finished_at", F.current_timestamp()).write.mode("append").parquet(
             callbacks_dir
         )

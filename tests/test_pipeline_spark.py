@@ -149,3 +149,36 @@ def test_pages_from_documents_byte_identity(spark):
     j = extracted.join(golden, "url")
     assert j.filter(F.col("extracted_text") != F.col("golden")).count() == 0
     assert j.count() == 500
+
+
+def test_job_progress_from_lineage(spark, pages, tmp_path):
+    """Progress percentages derive from the lineage table (the reference's
+    per-job progress reporting, cv_api/main.py:223-301, generalized to
+    partitions): 0% before any run, 100% after a full run, partial after
+    a partial run."""
+    from ocr_endpoint_project_spark.pipeline.lineage import (
+        job_progress,
+        run_with_lineage,
+    )
+
+    out = str(tmp_path / "job")
+    lineage_dir = out + "/lineage"
+
+    p0 = job_progress(spark, lineage_dir, num_partitions=8)
+    assert p0["stage"] == "preparing" and p0["percent"] == 0.0
+
+    run_with_lineage(spark, pages, out, run_id="run-1", num_partitions=8)
+    p1 = job_progress(spark, lineage_dir, num_partitions=8)
+    assert p1["stage"] == "completed" and p1["percent"] == 100.0
+    assert p1["partitions_done"] == 8
+    assert p1["docs_done"] == pages.count()
+
+    # a lineage table with only SOME partitions succeeded reads as partial
+    import pyspark.sql.functions as F
+
+    partial_dir = str(tmp_path / "partial_lineage")
+    spark.read.parquet(lineage_dir).filter(F.col("partition_id") < 4).write.parquet(
+        partial_dir
+    )
+    p2 = job_progress(spark, partial_dir, num_partitions=8)
+    assert p2["stage"] == "extracting" and 0.0 < p2["percent"] < 100.0
