@@ -26,6 +26,8 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+SCALING_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SCALING_PARTITIONS", "64"))
+
 
 def main() -> None:
     cores = int(sys.argv[1])
@@ -38,7 +40,7 @@ def main() -> None:
     # hot paths, then one FULL-SIZE unrecorded run touches the entire
     # replica fan-out and page cache at the measured shape
     time_extraction(spark, replicas=1, partitions=cores)
-    warm_sec, warm_n = time_extraction(spark, replicas=replicas, partitions=cores * 8)
+    warm_sec, warm_n = time_extraction(spark, replicas=replicas, partitions=SCALING_PARTITIONS)
     print(json.dumps({"ready": True, "cores": cores, "warm_sec": round(warm_sec, 3)}),
           flush=True)
 
@@ -47,11 +49,12 @@ def main() -> None:
         if cmd == "run":
             # drain GC debt from the PREVIOUS run before timing this one
             spark.sparkContext._jvm.System.gc()
-            # cores*8 partitions: fine enough that the last wave's
-            # straggler tail is ~1/8 of a wave (measured faster than
-            # cores*4 at both leg sizes), coarse enough that per-task
-            # scheduling stays negligible
-            sec, n = time_extraction(spark, replicas=replicas, partitions=cores * 8)
+            # SAME partition count on BOTH legs (like a real cluster
+            # job: partitions are sized for the data, executors scale
+            # underneath) — per-thread task overhead then shrinks with
+            # cores instead of acting as a serial constant, and both
+            # legs see the identical skew profile
+            sec, n = time_extraction(spark, replicas=replicas, partitions=SCALING_PARTITIONS)
             print(json.dumps({"sec": sec, "n": n}), flush=True)
         elif cmd == "quit":
             break
