@@ -139,7 +139,7 @@ def run_scaling(cpus: int) -> dict:
     # 10-25% on a minutes scale, so a round's two legs must sit in the
     # SAME ~60 s window (drift between rounds then cancels in the
     # median); more shorter rounds beat fewer averaged ones
-    n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "9"))
+    n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "7"))
     runs_per_leg = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS_PER_LEG", "1"))
 
     workers: dict[int, subprocess.Popen] = {}
