@@ -115,11 +115,11 @@ def run_scaling(cpus: int) -> dict:
       round warm — fixed per-measurement overhead otherwise deflates
       the ratio ((t+c)/(t+4c) < t/(4*(t/4))) in a way a long-running
       cluster job never sees.
-    * Per-round estimate: each leg runs TWICE per round (alternating
-      s,b,s,b so drift exposure is symmetric) and the round uses each
-      leg's MIN — the timeit discipline: repeated identical work's
-      minimum is the noise-free lower bound, and it is applied to BOTH
-      legs, so it cannot bias the ratio.
+    * Tightly-paired rounds: one run per leg per round keeps both legs
+      inside the same ~80 s window; leg ORDER alternates by round parity
+      so a drift edge crossing a round lands on either leg equally
+      (SPARK_GRAFT_SCALING_RUNS_PER_LEG>1 switches to per-leg min — the
+      timeit discipline, applied to both legs symmetrically).
     * Headline estimator: MEDIAN of per-round paired efficiencies —
       robust to a drift patch hitting one round; per-run times, spreads,
       and the best-leg ratio are kept as diagnostics only.
@@ -149,8 +149,8 @@ def run_scaling(cpus: int) -> dict:
         # idle local-mode JVM still wakes GC/JIT/scheduler threads sized
         # for the whole machine, which measurably slows the other leg.
         # Frozen peers mirror separate cluster runs. Freeze windows
-        # (<= ~70 s) stay under spark.network.timeout (120 s), so no
-        # internal timeout can fire across a SIGSTOP/SIGCONT cycle.
+        # (<= ~80 s) stay far under the widened spark.network.timeout
+        # (600 s, _session), so no timeout fires across a freeze cycle.
         os.killpg(os.getpgid(p.pid), signal.SIGSTOP)
 
     def _thaw(p: subprocess.Popen) -> None:
