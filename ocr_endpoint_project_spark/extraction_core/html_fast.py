@@ -37,10 +37,12 @@ from .html_extract import (
 # instruction (<?...>), named start/end tag, bogus end tag (</ + non-letter
 # consumes through the next '>' per the HTML5 bogus-comment rule)
 _MARKUP_RE = re.compile(
-    r"<!--.*?-->|<![^>]*>|<\?[^>]*>|</?[a-zA-Z][^>]*>|</[^>]*>", re.S
+    r"<!--.*?-->|<![^>]*>|<\?[^>]*>|</?([a-zA-Z][a-zA-Z0-9-]*)[^>]*>|</[^>]*>", re.S
 )  # every alternative requires the closing '>': an unterminated tag at
-#    EOF is data, matching html.parser's close() behavior
-_NAME_RE = re.compile(r"</?([a-zA-Z][a-zA-Z0-9-]*)")
+#    EOF is data, matching html.parser's close() behavior. The named-tag
+#    alternative captures the tag name directly (group 1) — same language
+#    as the former `</?[a-zA-Z][^>]*>` since name chars are a subset of
+#    [^>], but it saves a second regex match per tag.
 # script/style are CDATA-like in html.parser: content runs literally to
 # the close tag (template is NOT — it parses normally, so it stays on the
 # drop_depth path for parity)
@@ -64,6 +66,9 @@ def extract_html_blocks_fast(payload: bytes) -> list[tuple[str, str]]:
 
     def flush() -> None:
         nonlocal fragments, link_fragments, block_tag
+        if not fragments:  # nothing buffered (the common boundary case):
+            block_tag = ""  # link_fragments ⊆ fragments, so both empty
+            return
         text = _collapse("".join(fragments))
         link_text = _collapse("".join(link_fragments))
         tag = block_tag
@@ -96,14 +101,12 @@ def extract_html_blocks_fast(payload: bytes) -> list[tuple[str, str]]:
             break
         if m.start() > pos:
             data(html[pos : m.start()])
-        tag_src = m.group(0)
         pos = m.end()
-        if tag_src[1] == "!":  # comment / doctype — no data, no state
+        name = m.group(1)
+        if name is None:  # comment / doctype / PI / bogus end tag
             continue
-        nm = _NAME_RE.match(tag_src)
-        if nm is None:
-            continue
-        name = nm.group(1).lower()
+        tag_src = m.group(0)
+        name = name.lower()
         closing = tag_src[1] == "/"
         self_closing = tag_src.endswith("/>") and not closing
 
