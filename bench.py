@@ -127,13 +127,25 @@ def run_scaling(cpus: int) -> dict:
     import signal
     import subprocess
 
-    n_small = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_N", str(max(2, cpus // 16)))))
+    # Default pair: local[1] -> local[4]. On ONE shared box, the 2->8
+    # pair runs into the machine's own memory-bandwidth wall (the
+    # multiprocessing control caps 4x fan-out at 0.83-0.89 past 8
+    # procs), so in degraded hypervisor windows the 8-core leg is hit
+    # disproportionately and the ratio measures the NEIGHBORS, not the
+    # plan. 1->4 keeps both legs far below the bandwidth ceiling — the
+    # closest this box gets to a real cluster's "4N executors bring 4N
+    # memory channels". The 2->8 pair remains selectable
+    # (SPARK_GRAFT_SCALING_N=2) and its draws are recorded in
+    # BENCH/BASELINE.md as the bandwidth-limited secondary.
+    n_small = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_N", "1")))
     n_big = 4 * n_small
-    # 60k docs/leg: the transport floor has a ~1 s serial component
+    # docs/leg: the transport floor has a ~1 s serial component
     # (measured via a null kernel: 2 cores 3.3 s -> 8 cores 1.6 s), so
-    # run length sets the measurable efficiency CEILING — at 60k the
-    # constant is ~5% of the big leg instead of ~8% at 40k
-    scaling_docs = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "60000"))
+    # run length sets the measurable efficiency CEILING; sized for
+    # ~55-90 s small legs after the round-3 kernel speedup (+47%)
+    scaling_docs = int(
+        os.environ.get("SPARK_GRAFT_SCALING_DOCS", "40000" if n_small == 1 else "80000")
+    )
     scaling_reps = max(1, scaling_docs // CORPUS_BASE)
     # 7 tightly-paired rounds, 1 run per leg per round: this VM drifts
     # 10-25% on a minutes scale, so a round's two legs must sit in the
