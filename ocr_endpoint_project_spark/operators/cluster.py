@@ -56,20 +56,23 @@ def connected_components(vertices: DataFrame, edges: DataFrame) -> DataFrame:
     pointer jump (adopt the label of your current label) — the jump makes
     convergence O(log diameter) instead of O(diameter), so adversarially
     long chains cannot silently exhaust the round cap. Convergence check
-    counts CHANGED labels between rounds (a join of two checkpointed
-    frames): summing raw int64 labels could wrap silently with hashed
-    64-bit ids and fake convergence.
+    counts CHANGED labels (summing raw int64 labels could wrap silently
+    with hashed 64-bit ids and fake convergence); the round-start label
+    rides through the round as a ``prev_lab`` column, so the check is ONE
+    aggregate over the just-checkpointed frame — no extra join of two
+    checkpointed frames per round.
     """
     labels = vertices.select("doc_id", F.col("doc_id").alias("lab")).localCheckpoint()
     for i in range(MAX_CC_ROUNDS):
-        prev = labels
+        cur = labels.select("doc_id", "lab")
         neigh = (
-            edges.join(labels, edges["dst"] == labels["doc_id"])
+            edges.join(cur, edges["dst"] == cur["doc_id"])
             .groupBy("src")
             .agg(F.min("lab").alias("nlab"))
         )
-        stepped = labels.join(neigh, labels["doc_id"] == neigh["src"], "left").select(
+        stepped = cur.join(neigh, cur["doc_id"] == neigh["src"], "left").select(
             "doc_id",
+            F.col("lab").alias("prev_lab"),
             F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias("lab"),
         )
         # pointer jump: lab <- label(lab). Since labels only decrease and a
@@ -81,13 +84,13 @@ def connected_components(vertices: DataFrame, edges: DataFrame) -> DataFrame:
             stepped.join(parent, stepped["lab"] == parent["p_id"], "left")
             .select(
                 "doc_id",
+                "prev_lab",
                 F.least(F.col("lab"), F.coalesce(F.col("p_lab"), F.col("lab"))).alias("lab"),
             )
             .localCheckpoint()  # truncate lineage: plan stays O(1) per round
         )
         n_changed = (
-            labels.join(prev.select("doc_id", F.col("lab").alias("plab")), "doc_id")
-            .agg(F.sum((F.col("lab") != F.col("plab")).cast("long")))
+            labels.agg(F.sum((F.col("lab") != F.col("prev_lab")).cast("long")))
             .collect()[0][0]
             or 0
         )

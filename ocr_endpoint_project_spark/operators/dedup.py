@@ -99,6 +99,29 @@ def _cap_df(sh: DataFrame) -> DataFrame:
     return sh.join(F.broadcast(_hot_shingles(sh)), "s", "left_anti").select("doc_id", "s")
 
 
+def _hot_hashes(hashed: DataFrame) -> DataFrame:
+    """Hot shingle HASHES (df > SHINGLE_DF_CAP) of an exploded
+    (doc_id, h) stream — the signature-leg twin of :func:`_hot_shingles`
+    operating in the 28-bit hash domain the MinHash permutations already
+    live in (colliding shingles are indistinguishable to the signature
+    anyway, so capping on h is the consistent domain there). int64 keys
+    make the count groupBy and the broadcast anti-join strictly cheaper
+    than their string twins."""
+    return (
+        hashed.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("h")
+    )
+
+
+def _cap_hashed(hashed: DataFrame) -> DataFrame:
+    """Drop hot-hash rows from an exploded (doc_id, h) stream."""
+    return hashed.join(F.broadcast(_hot_hashes(hashed)), "h", "left_anti").select(
+        "doc_id", "h"
+    )
+
+
 def _sql_capped_shingle_ctes() -> str:
     """DuckDB twin: exploded shingles `sh` and the df-capped stream `shc`."""
     return f"""toks AS (SELECT doc_id, {_sql_tokens()} AS t FROM documents),
@@ -106,6 +129,20 @@ sh AS (SELECT doc_id, unnest({_sql_shingles()}) AS s FROM toks),
 shc AS (
   SELECT doc_id, s FROM sh
   WHERE s NOT IN (SELECT s FROM sh GROUP BY s HAVING count(*) > {SHINGLE_DF_CAP})
+)"""
+
+
+def _sql_capped_hash_ctes() -> str:
+    """DuckDB twin of the signature leg: exploded shingles hashed to the
+    28-bit domain and deduped per doc (`hashed` — a doc's shingle SET in
+    hash space, collisions conflated exactly as Spark's array_distinct
+    over the hashed arrays does), then df-capped in that domain (`hc`)."""
+    return f"""toks AS (SELECT doc_id, {_sql_tokens()} AS t FROM documents),
+sh AS (SELECT doc_id, unnest({_sql_shingles()}) AS s FROM toks),
+hashed AS (SELECT DISTINCT doc_id, {SQL_SHINGLE_HASH32.format(s="s")} AS h FROM sh),
+hc AS (
+  SELECT doc_id, h FROM hashed
+  WHERE h NOT IN (SELECT h FROM hashed GROUP BY h HAVING count(*) > {SHINGLE_DF_CAP})
 )"""
 
 
@@ -134,13 +171,24 @@ FROM documents GROUP BY 1
 # ---------------------------------------------------------------------------
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    # pinned: consumed four times (df cap + both self-join sides + sizes)
+    """Shingle-keyed self-join near-dup pairs with similarity over the
+    DF-CAPPED shingle sets (column ``jaccard_capped``): stop-shingles
+    (df > SHINGLE_DF_CAP) are excluded from BOTH the pair generation and
+    the similarity itself, so results depend on the cap value (recorded
+    in bench output as ``shingle_df_cap``). This intentionally differs
+    from :func:`minhash_lsh_pairs`, whose verify step reports EXACT
+    Jaccard over the full shingle sets — there the banding already
+    bounds the candidate space, so no cap is needed at verify time.
+    """
     raw = _pin(
         _docs(spark, sf_dir)
         .select("doc_id", F.explode(_shingles(norm_tokens("text"))).alias("s")),
         "ngram_shingles",
     )
-    sh = _cap_df(raw)  # Jaccard is computed over the CAPPED shingle sets
+    # pinned: the capped stream feeds the df sizes AND both self-join
+    # sides — without the pin the hot-shingle aggregate + anti-join
+    # re-execute once per consumer (the r3 bench regression)
+    sh = _pin(_cap_df(raw), "ngram_shingles_capped")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -159,10 +207,10 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
             "doc_b",
             r4(
                 F.col("inter").cast("double")
-                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("inter"))).alias("jaccard"),
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("inter"))).alias("jaccard_capped"),
         )
     )
-    return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    return jac.filter(F.col("jaccard_capped") >= JACCARD_THRESHOLD)
 
 
 SQL_NGRAM_JACCARD = f"""
@@ -174,7 +222,7 @@ inter AS (
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
-       floor((CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)) * 10000 + 0.5) / 10000 AS jaccard
+       floor((CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)) * 10000 + 0.5) / 10000 AS jaccard_capped
 FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
 WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= {JACCARD_THRESHOLD}
 """
@@ -186,47 +234,53 @@ WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= {JACCARD_THRESHOLD}
 # ---------------------------------------------------------------------------
 
 def q_minhash_signature(spark, sf_dir):
-    """explode(shingle) -> hash once -> groupBy(doc).agg(min per perm).
+    """explode(shingle) -> hash once -> df-cap in hash domain -> groupBy.
 
     The array-HOF formulation (transform+array_min per permutation)
     recomputes the md5 shingle hashes once per permutation after Catalyst
     collapses the projections — 8x the work. The explode+groupBy shape
     hashes each shingle exactly once and is also the 10^12-doc shape:
-    one shuffle keyed by doc_id with map-side partial min. Stop-shingles
-    (df > SHINGLE_DF_CAP) are dropped first — same capped stream the LSH
-    path signs, so signatures agree across operators."""
-    raw = _pin(
+    one shuffle keyed by doc_id with map-side partial min. The hashed
+    (doc_id, h) stream is PINNED (materialized at bench/prod scale) so
+    the hot-hash count and the anti-join each read int64 pairs — hashing
+    runs exactly once. Hot shingles (df > SHINGLE_DF_CAP) are capped in
+    the 28-bit HASH domain, which is the domain the permutations operate
+    in anyway — same capped stream the LSH path signs, so signatures
+    agree across operators."""
+    hashed = _pin(
         _docs(spark, sf_dir)
-        .select("doc_id", F.explode(_shingles(norm_tokens("text"))).alias("s")),
-        "mh_shingles",
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        _shingles(norm_tokens("text")), lambda s: shingle_hash32(s)
+                    )
+                )
+            ).alias("h"),
+        ),
+        "mh_hashed",
     )
-    sh = _cap_df(raw).select("doc_id", shingle_hash32(F.col("s")).alias("h"))
     aggs = [
         F.min((F.col("h") * a + b) % MINHASH_P).alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_PERMS)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return _cap_hashed(hashed).groupBy("doc_id").agg(*aggs)
 
 
 def _sql_minhash_exprs() -> str:
-    """min-per-perm over the exploded capped-shingle hash stream `hashed`."""
+    """min-per-perm over the exploded capped hash stream `hc`."""
     return ",\n       ".join(
         f"CAST(min((h * {a} + {b}) % {MINHASH_P}) AS BIGINT) AS mh{i}"
         for i, (a, b) in enumerate(MINHASH_PERMS)
     )
 
 
-_SQL_HASHED_CTE = f"""hashed AS (
-  SELECT doc_id, {SQL_SHINGLE_HASH32.format(s="s")} AS h FROM shc
-)"""
-
-
 SQL_MINHASH_SIG = f"""
-WITH {_sql_capped_shingle_ctes()},
-{_SQL_HASHED_CTE}
+WITH {_sql_capped_hash_ctes()}
 SELECT doc_id,
        {_sql_minhash_exprs()}
-FROM hashed GROUP BY doc_id
+FROM hc GROUP BY doc_id
 """
 
 
@@ -238,23 +292,38 @@ FROM hashed GROUP BY doc_id
 def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     """MinHash-LSH verified near-dup pairs over any (doc_id, text) frame.
 
-    ONE tokenize+shingle pass feeds both legs: the pinned per-doc
-    shingle arrays serve the verify join directly, and their exploded
-    stream is df-capped (stop-shingles carry no signal and blow up
-    O(df^2) in any shingle-keyed join) before signature hashing. The cap
-    guards exactly where the blowup lives — the shingle-keyed signature/
-    band path; the verify step computes exact Jaccard over the FULL
-    shingle sets and only ever touches banding-bounded candidate pairs,
-    so it needs no cap (the classical stop-shingle design).
+    ONE tokenize+shingle+hash pass feeds both legs through a single
+    pinned table of per-doc HASHED shingle arrays (array<bigint>, the
+    28-bit domain the MinHash permutations live in): its exploded stream
+    is df-capped (stop-shingles carry no signal and blow up O(df^2) in
+    any shingle-keyed join) and signed, and the verify join intersects
+    the int arrays directly — int64 arrays shuffle and compare several
+    times cheaper than the string-shingle arrays they replace, and the
+    md5 per shingle is computed exactly once. The cap guards exactly
+    where the blowup lives — the shingle-keyed signature/band path; the
+    verify step computes Jaccard over the FULL hashed-shingle sets
+    (column ``jaccard``, exact up to 28-bit collisions — the same
+    collisions the signatures themselves already conflate) and only
+    ever touches banding-bounded candidate pairs, so it needs no cap
+    (the classical stop-shingle design). Note the deliberate semantic
+    split vs :func:`q_dedup_ngram_jaccard`, which reports
+    ``jaccard_capped`` over the df-capped string-shingle sets because
+    there the cap must also bound the pair generation itself.
     """
-    sh = _pin(
-        docs.select("doc_id", _shingles(norm_tokens("text")).alias("sh")),
-        "lsh_verify_shingles",
+    hs = _pin(
+        docs.select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    _shingles(norm_tokens("text")), lambda s: shingle_hash32(s)
+                )
+            ).alias("hs"),
+        ),
+        "lsh_hashed_shingles",
     )
-    shc = _cap_df(sh.select("doc_id", F.explode("sh").alias("s")))
-    hashed = shc.select("doc_id", shingle_hash32(F.col("s")).alias("h"))
+    hashed = hs.select("doc_id", F.explode("hs").alias("h"))
     sig = _pin(
-        hashed.groupBy("doc_id").agg(
+        _cap_hashed(hashed).groupBy("doc_id").agg(
             *[
                 F.min((F.col("h") * a + b) % MINHASH_P).alias(f"mh{i}")
                 for i, (a, b) in enumerate(MINHASH_PERMS)
@@ -295,10 +364,10 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # verify candidates with exact shingle Jaccard (only candidate pairs
-    # pay); reuses the pinned shingle arrays from above
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
+    # verify candidates with full-set Jaccard over the hashed shingle
+    # arrays (only candidate pairs pay); reuses the pinned table above
+    sa = hs.alias("sa")
+    sb = hs.alias("sb")
     return (
         cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
@@ -306,8 +375,8 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
             "doc_a",
             "doc_b",
             r4(
-                F.size(F.array_intersect("sa.sh", "sb.sh")).cast("double")
-                / F.size(F.array_union("sa.sh", "sb.sh"))).alias("jaccard"),
+                F.size(F.array_intersect("sa.hs", "sb.hs")).cast("double")
+                / F.size(F.array_union("sa.hs", "sb.hs"))).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
@@ -330,12 +399,13 @@ def _sql_band_rows() -> str:
 
 
 SQL_MINHASH_LSH = f"""
-WITH {_sql_capped_shingle_ctes()},
-{_SQL_HASHED_CTE},
-shl AS (SELECT doc_id, {_sql_shingles()} AS sh FROM toks),
+WITH {_sql_capped_hash_ctes()},
+shl AS (
+  SELECT doc_id, list(h) AS hs FROM hashed GROUP BY doc_id
+),
 sig AS (
   SELECT doc_id, {_sql_minhash_exprs()}
-  FROM hashed GROUP BY doc_id
+  FROM hc GROUP BY doc_id
 ),
 bands AS ({_sql_band_rows()}),
 cand AS (
@@ -345,8 +415,8 @@ cand AS (
 ),
 verified AS (
   SELECT doc_a, doc_b,
-         floor((CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-               / len(list_distinct(list_concat(sa.sh, sb.sh)))) * 10000 + 0.5) / 10000 AS jaccard
+         floor((CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa.hs, sb.hs)))) * 10000 + 0.5) / 10000 AS jaccard
   FROM cand JOIN shl sa ON doc_a = sa.doc_id JOIN shl sb ON doc_b = sb.doc_id
 )
 SELECT * FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}

@@ -59,6 +59,8 @@ def dedupe_corpus(
     component loop runs actions per round, so recomputing it per consumer
     doubles the job's work."""
     if clusters is None:
+        if pairs is None:
+            raise ValueError("dedupe_corpus requires either pairs or clusters")
         clusters = resolve_clusters(pairs, docs)
     keepers = clusters.filter(F.col("is_keeper")).select(
         "doc_id", "cluster_id", "cluster_size"

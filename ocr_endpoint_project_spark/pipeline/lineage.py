@@ -19,6 +19,7 @@ the newest row per partition_id.
 from __future__ import annotations
 
 import os
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -28,12 +29,29 @@ from .extract import DEFAULT_PARTITIONS, run_extraction
 STATUS_SUCCEEDED = "succeeded"
 
 
-def lineage_rows(extracted: DataFrame, run_id: str) -> DataFrame:
+def lineage_rows(
+    extracted: DataFrame,
+    run_id: str,
+    started_at: datetime | None = None,
+    partitions_total: int | None = None,
+) -> DataFrame:
     """Aggregate extracted rows into one lineage row per partition.
 
     Checksum: md5 over the sorted per-row md5s of extracted text — order-
     insensitive, so it is stable under task re-ordering.
+
+    ``started_at`` is the job/batch start wall-clock captured BEFORE the
+    data write (the reference records genuine per-stage timings,
+    cv_api/main.py:246-256); ``finished_at`` is the lineage-commit time,
+    so ``started_at < finished_at`` brackets the data write.
+    ``partitions_total`` records the run's configured partition count so
+    readers (job_progress) never have to guess the denominator.
     """
+    started = (
+        F.lit(started_at).cast("timestamp")
+        if started_at is not None
+        else F.current_timestamp()
+    )
     return (
         extracted.groupBy("partition_id")
         .agg(
@@ -60,8 +78,9 @@ def lineage_rows(extracted: DataFrame, run_id: str) -> DataFrame:
             "failed_count",
             "byte_count",
             "checksum",
-            F.current_timestamp().alias("started_at"),
+            started.alias("started_at"),
             F.current_timestamp().alias("finished_at"),
+            F.lit(partitions_total).cast("int").alias("partitions_total"),
             F.lit(STATUS_SUCCEEDED).alias("status"),
         )
     )
@@ -121,6 +140,7 @@ def run_with_lineage(
     done = resume_filter(spark, lineage_dir)
     extracted = run_extraction(pages, num_partitions=num_partitions, done_partitions=done)
 
+    started_at = datetime.now(timezone.utc)  # before the data write
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
         extracted.write.mode("overwrite")
@@ -131,7 +151,9 @@ def run_with_lineage(
     done_rows = spark.read.parquet(extracted_dir)
     if done is not None:
         done_rows = done_rows.join(F.broadcast(done), "partition_id", "left_anti")
-    lin = lineage_rows(done_rows, run_id)
+    lin = lineage_rows(
+        done_rows, run_id, started_at=started_at, partitions_total=num_partitions
+    )
     lin.write.mode("append").parquet(lineage_dir)
 
     n_done = 0 if done is None else done.count()
@@ -154,9 +176,13 @@ def job_progress(
     (``cv_api/main.py:223-301``: preparing 5% -> ocr 35% -> llm 75% ->
     completed 100%). In a distributed job the honest progress unit is the
     PARTITION: each succeeded partition has passed every stage, so
-    ``percent = succeeded_partitions / num_partitions`` — derived from
+    ``percent = succeeded_partitions / partitions_total`` — derived from
     the same lineage table that drives checkpoint resume, never from
-    driver-side mutable state.
+    driver-side mutable state. The denominator is the most recent run's
+    recorded ``partitions_total`` (a resumed job may have been launched
+    with a different partition count than this caller assumes);
+    ``num_partitions`` is only the fallback for pre-upgrade lineage
+    tables whose rows carry a null total.
 
     Returns ``{"stage", "percent", "partitions_done", "partitions_total",
     "docs_done"}``.
@@ -170,18 +196,27 @@ def job_progress(
             "partitions_total": num_partitions,
             "docs_done": 0,
         }
-    lin = latest_lineage(spark.read.parquet(lineage_dir)).filter(
-        F.col("status") == STATUS_SUCCEEDED
-    )
+    lin_all = spark.read.parquet(lineage_dir)
+    total = num_partitions
+    if "partitions_total" in lin_all.columns:
+        tot_row = (
+            lin_all.filter(F.col("partitions_total").isNotNull())
+            .orderBy(F.desc("finished_at"), F.desc("run_id"))
+            .select("partitions_total")
+            .first()
+        )
+        if tot_row is not None:
+            total = int(tot_row["partitions_total"])
+    lin = latest_lineage(lin_all).filter(F.col("status") == STATUS_SUCCEEDED)
     row = lin.agg(
         F.count(F.lit(1)).alias("p"), F.sum("doc_count").alias("docs")
     ).collect()[0]
     n_done = int(row["p"] or 0)
-    pct = round(min(100.0, 100.0 * n_done / num_partitions), 1)
+    pct = round(min(100.0, 100.0 * n_done / total), 1)
     return {
-        "stage": "completed" if n_done >= num_partitions else "extracting",
+        "stage": "completed" if n_done >= total else "extracting",
         "percent": pct,
         "partitions_done": n_done,
-        "partitions_total": num_partitions,
+        "partitions_total": total,
         "docs_done": int(row["docs"] or 0),
     }

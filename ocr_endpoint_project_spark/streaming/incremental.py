@@ -65,6 +65,7 @@ def stream_extract_with_callbacks(
     available_now: bool = True,
     callback_fn=None,
     lineage_dir: str | None = None,
+    run_prefix: str | None = None,
 ) -> StreamingQuery:
     """Callback sink (S9) + progress reporting (O10): the reference's
     completion webhook (``cv_api/main.py:199-220``) and per-job progress
@@ -78,9 +79,23 @@ def stream_extract_with_callbacks(
 
     With ``lineage_dir`` set, each micro-batch also appends the SAME
     per-partition lineage rows the batch path writes
-    (``pipeline/lineage.py``), run_id = ``batch-{batch_id}`` — so batch
-    and streaming runs are auditable in one table with one schema.
+    (``pipeline/lineage.py``), run_id = ``{run_prefix}-batch-{batch_id}``.
+    ``run_prefix`` defaults to a hash of ``checkpoint_dir`` — STABLE
+    across restarts of the same logical query (same checkpoint) and
+    unique across different queries sharing one lineage_dir, so run ids
+    never collide between queries. A micro-batch whose lineage run_id
+    already exists is SKIPPED entirely (data + lineage + callback) — the
+    streaming twin of the batch path's ``resume_filter``, making
+    checkpoint replay of a committed batch idempotent. Replay caveat:
+    the lineage row is the commit point, so a crash BETWEEN the data
+    write and the lineage write re-runs the batch and re-appends its
+    data parquet — the one at-least-once window a non-transactional
+    file-append sink cannot close; readers needing exactly-once counts
+    should consume the lineage table (latest row per run_id/partition),
+    not raw output row counts.
     """
+    import hashlib
+
     from pyspark.sql import functions as F
 
     from ..pipeline.lineage import lineage_rows
@@ -88,22 +103,61 @@ def stream_extract_with_callbacks(
     pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
     extracted = run_extraction(pages, num_partitions=num_partitions)
 
-    # cumulative progress across micro-batches (foreachBatch runs on the
-    # driver, so a plain closure counter is exact per query) — the
-    # streaming analog of the reference's per-job progress percentages
-    # (cv_api/main.py:223-301); with an unbounded stream there is no
-    # denominator, so progress is reported as docs-processed-so-far
-    totals = {"docs": 0}
+    prefix = run_prefix or "q" + hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+
+    # cumulative progress across micro-batches — the streaming analog of
+    # the reference's per-job progress percentages (cv_api/main.py:223-301);
+    # with an unbounded stream there is no denominator, so progress is
+    # docs-processed-so-far. Restored from this query's own lineage rows
+    # on restart (not a bare closure counter that would reset to 0).
+    totals = {"docs": -1}
+
+    def _committed_run_ids() -> set[str]:
+        if lineage_dir is None:
+            return set()
+        from pyspark.errors import AnalysisException
+
+        try:
+            lin = spark.read.parquet(lineage_dir)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return set()
+            raise
+        mine = lin.filter(F.col("run_id").startswith(prefix + "-batch-"))
+        return {r["run_id"] for r in mine.select("run_id").distinct().collect()}
 
     def _handle(batch_df, batch_id: int) -> None:
+        from datetime import datetime, timezone
+
+        run_id = f"{prefix}-batch-{batch_id}"
+        if lineage_dir is not None:
+            committed = _committed_run_ids()
+            if totals["docs"] < 0:  # first batch after (re)start
+                lin = spark.read.parquet(lineage_dir) if committed else None
+                totals["docs"] = (
+                    int(
+                        lin.filter(F.col("run_id").startswith(prefix + "-batch-"))
+                        .agg(F.sum("doc_count"))
+                        .collect()[0][0]
+                        or 0
+                    )
+                    if lin is not None
+                    else 0
+                )
+            if run_id in committed:
+                return  # checkpoint replay of an already-committed batch
+        elif totals["docs"] < 0:
+            totals["docs"] = 0
+        started_at = datetime.now(timezone.utc)
         batch_df.persist()
         batch_df.write.mode("append").parquet(out_dir)
         if lineage_dir is not None:
             # same commit discipline as the batch path: lineage appended
             # only after the data write returned
-            lineage_rows(batch_df, run_id=f"batch-{batch_id}").write.mode(
-                "append"
-            ).parquet(lineage_dir)
+            lineage_rows(
+                batch_df, run_id=run_id, started_at=started_at,
+                partitions_total=num_partitions,
+            ).write.mode("append").parquet(lineage_dir)
         row = batch_df.agg(
             F.count(F.lit(1)).alias("doc_count"),
             F.sum(F.when(F.col("status") == "succeeded", 1).otherwise(0)).alias("ok_count"),

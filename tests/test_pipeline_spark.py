@@ -182,3 +182,28 @@ def test_job_progress_from_lineage(spark, pages, tmp_path):
     )
     p2 = job_progress(spark, partial_dir, num_partitions=8)
     assert p2["stage"] == "extracting" and 0.0 < p2["percent"] < 100.0
+
+
+def test_lineage_stage_timestamps_real(spark, pages, tmp_path):
+    """started_at is captured BEFORE the data write and finished_at at
+    lineage-commit time (the reference records genuine per-stage timings,
+    cv_api/main.py:246-256) — so the pair brackets the write instead of
+    being one vacuous double current_timestamp()."""
+    out = str(tmp_path / "job")
+    run_with_lineage(spark, pages, out, run_id="run-1", num_partitions=8)
+    rows = spark.read.parquet(out + "/lineage").collect()
+    assert rows and all(r["started_at"] < r["finished_at"] for r in rows)
+
+
+def test_job_progress_denominator_from_lineage(spark, pages, tmp_path):
+    """A job launched with one partition count must report that count as
+    the denominator even when the progress caller assumes a different
+    default — partitions_total rides the lineage rows themselves."""
+    from ocr_endpoint_project_spark.pipeline.lineage import job_progress
+
+    out = str(tmp_path / "job")
+    run_with_lineage(spark, pages, out, run_id="run-1", num_partitions=8)
+    # caller guesses 999 partitions; lineage knows the truth
+    p = job_progress(spark, out + "/lineage", num_partitions=999)
+    assert p["partitions_total"] == 8
+    assert p["stage"] == "completed" and p["percent"] == 100.0

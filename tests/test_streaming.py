@@ -216,5 +216,47 @@ def test_streaming_lineage_matches_batch_schema(spark, tmp_path):
     b = {tuple(r[k] for k in keys) for r in batch_lin.select(*keys).collect()}
     s = {tuple(r[k] for k in keys) for r in stream_lin.select(*keys).collect()}
     assert b == s
-    assert all(r["run_id"].startswith("batch-") for r in stream_lin.collect())
+    # run ids are namespaced per query (stable hash of the checkpoint
+    # dir), so two queries sharing one lineage_dir can never collide
+    assert all("-batch-" in r["run_id"] for r in stream_lin.collect())
+    pages.unpersist()
+
+
+def test_streaming_lineage_replay_idempotent(spark, tmp_path):
+    """A restarted query replaying an already-committed micro-batch must
+    NOT double-append data or lineage: the run_id (stable checkpoint-hash
+    prefix + batch id) is the commit marker, mirroring the batch path's
+    resume_filter."""
+    from ocr_endpoint_project_spark.streaming import stream_extract_with_callbacks
+
+    pages = corpus_pages(spark, n=20, seed=7).cache()
+    in_dir = str(tmp_path / "in")
+    pages.write.mode("append").parquet(in_dir)
+    out_dir = str(tmp_path / "out")
+    lin_dir = str(tmp_path / "lineage")
+
+    calls: list[dict] = []
+    q = stream_extract_with_callbacks(
+        spark, in_dir, out_dir, str(tmp_path / "ckpt1"), str(tmp_path / "cb"),
+        num_partitions=8, lineage_dir=lin_dir, run_prefix="jobA",
+        callback_fn=calls.append,
+    )
+    q.awaitTermination(120)
+    n_out = spark.read.parquet(out_dir).count()
+    n_lin = spark.read.parquet(lin_dir).count()
+    assert n_out == 20 and len(calls) == 1
+    assert calls[0]["docs_cumulative"] == 20
+
+    # simulate a restart that replays batch 0: fresh checkpoint, same
+    # run_prefix, same input -> the batch's run_id already has lineage,
+    # so the handler must skip it entirely
+    q2 = stream_extract_with_callbacks(
+        spark, in_dir, out_dir, str(tmp_path / "ckpt2"), str(tmp_path / "cb"),
+        num_partitions=8, lineage_dir=lin_dir, run_prefix="jobA",
+        callback_fn=calls.append,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == n_out  # no double data
+    assert spark.read.parquet(lin_dir).count() == n_lin  # no double lineage
+    assert len(calls) == 1  # no duplicate completion callback
     pages.unpersist()
