@@ -223,6 +223,88 @@ FROM documents GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# S5 quarantine + error taxonomy as a query: the reference's upload
+# validation errors are a first-class API surface
+# (docs/API_CONTRACT_V1.md:143-152, cv_api/main.py:38-40,322-348) — here
+# the same taxonomy is a queryable rollup over a corpus with
+# deterministically injected invalid rows (doc_id % 10 selects the
+# failure class), so the oracle predicts every count from the
+# construction rule.
+# ---------------------------------------------------------------------------
+
+_TAXONOMY_MAX_BYTES = 4096  # valid pages are < ~1.1 KB; oversized rows exceed this
+
+
+def q_extract_error_taxonomy(spark, sf_dir):
+    """(status, error_code, n_docs) over a corpus where doc_id % 10
+    injects: 4 -> null url, 0/1 -> null/empty payload, 2 -> unsniffable
+    payload, 3 -> oversized payload; the rest are well-formed pages that
+    run the REAL extraction kernel (their 'succeeded' is computed, not
+    assumed — the same construction extract_roundtrip proves
+    byte-identical)."""
+    from ..pipeline.ingest import validate_pages
+    from ..sources.pages import _POST, _PRE
+
+    docs = _docs(spark, sf_dir)
+    mod = F.pmod(F.col("doc_id"), F.lit(10))
+    pages = docs.select(
+        F.when(mod == 4, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".example/doc/"), F.col("doc_id")
+            )
+        )
+        .alias("url"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("doc_id"))
+        ).alias("warc_ts"),
+        F.when(mod == 0, F.lit(None).cast("binary"))
+        .when(mod == 1, F.lit("").cast("binary"))
+        .when(mod == 2, F.lit("PLAINTEXT PAYLOAD WITHOUT ANY MARKUP").cast("binary"))
+        .when(
+            mod == 3,
+            F.concat(
+                F.lit("<p>"), F.repeat(F.lit("x"), _TAXONOMY_MAX_BYTES + 1), F.lit("</p>")
+            ).cast("binary"),
+        )
+        .otherwise(F.concat(F.lit(_PRE), F.col("text"), F.lit(_POST)).cast("binary"))
+        .alias("html"),
+        "lang",
+    )
+    valid, quarantined = validate_pages(pages, max_bytes=_TAXONOMY_MAX_BYTES)
+    ok = (
+        run_extraction(valid, num_partitions=16)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select("status", F.lit("NONE").alias("error_code"), "n_docs")
+    )
+    quar = (
+        quarantined.groupBy("error_code")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(F.lit("quarantined").alias("status"), "error_code", "n_docs")
+    )
+    return ok.unionByName(quar)
+
+
+SQL_ERROR_TAXONOMY = """
+WITH cls AS (
+  SELECT CASE
+    WHEN doc_id % 10 = 4 THEN 'NULL_URL'
+    WHEN doc_id % 10 IN (0, 1) THEN 'EMPTY_FILE'
+    WHEN doc_id % 10 = 2 THEN 'INVALID_FILE_TYPE'
+    WHEN doc_id % 10 = 3 THEN 'FILE_TOO_LARGE'
+    ELSE 'NONE' END AS error_code
+  FROM documents
+)
+SELECT CASE WHEN error_code = 'NONE' THEN 'succeeded' ELSE 'quarantined' END AS status,
+       error_code,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM cls GROUP BY 1, 2
+"""
+
+
 
 QUERIES = {
     "extract_roundtrip": q_extract_roundtrip,
@@ -232,6 +314,7 @@ QUERIES = {
     "token_wer_kernel": q_token_wer,
     "extract_cost_summary": q_extract_cost_summary,
     "web_host_rollup": q_web_host_rollup,
+    "extract_error_taxonomy": q_extract_error_taxonomy,
 }
 
 _SQL_PRED = "regexp_replace(text, 'batch', 'match', 'g')"
@@ -296,4 +379,5 @@ ORACLES = {
     "token_wer_kernel": SQL_TOKEN_WER,
     "extract_cost_summary": SQL_EXTRACT_COST,
     "web_host_rollup": SQL_WEB_HOST_ROLLUP,
+    "extract_error_taxonomy": SQL_ERROR_TAXONOMY,
 }

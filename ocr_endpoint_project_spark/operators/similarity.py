@@ -706,7 +706,9 @@ def q_embedding_srp_pairs(spark, sf_dir):
     )
 
 
-def _sql_srp_pairs() -> str:
+def _sql_srp_keyed_ctes() -> str:
+    """DuckDB twins of the SRP signature path: quantize (`vq`), sign
+    (`sig`), band (`keyed`) — shared by the pair and top-k oracles."""
     plane_lits = ", ".join(
         "[" + ", ".join(str(s) for s in row) + "]" for row in SRP_PLANES
     )
@@ -716,8 +718,7 @@ def _sql_srp_pairs() -> str:
             THEN CAST({1 << b} AS BIGINT) ELSE 0 END"""
         for b in range(SRP_BITS)
     )
-    return f"""
-WITH vq AS (
+    return f"""vq AS (
   SELECT vec_id, embedding,
          list_transform(embedding,
              x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS eq,
@@ -729,13 +730,171 @@ WITH vq AS (
   SELECT vec_id, embedding, band_id,
          (sig >> (band_id * {SRP_BAND_BITS})) & {(1 << SRP_BAND_BITS) - 1} AS band_key
   FROM (SELECT *, unnest(range(0, {SRP_BANDS})) AS band_id FROM sig)
-)
+)"""
+
+
+def _sql_srp_pairs() -> str:
+    return f"""
+WITH {_sql_srp_keyed_ctes()}
 SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
        floor((list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) * 10000 + 0.5) / 10000 AS cosine
 FROM keyed a JOIN keyed b
   ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.vec_id < b.vec_id
 WHERE floor((list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) * 10000 + 0.5) / 10000
       >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# measured recall@k: every index family (IVF single-probe, IVF multiprobe,
+# SRP-LSH) joined against the brute-force truth — the quality/cost number
+# a user tuning n_probes / band bits actually needs (the reference's
+# benchmark layer exists to quantify exactly such trade-offs,
+# pages/parallel_ocr_test.py:211-270)
+# ---------------------------------------------------------------------------
+
+
+def srp_topk(spark, sf_dir) -> DataFrame:
+    """SRP-LSH as a top-k ANN search: candidates = vectors sharing at
+    least one signature band with the query, ranked by exact cosine.
+    The LSH twin of q_ann_ivf_bucketed, reusing the pinned signature
+    table."""
+    emb = _emb(spark, sf_dir)
+    eq = emb.select(
+        "vec_id", "embedding", vec_norm(F.col("embedding")).alias("nrm"),
+        _quant(F.col("embedding")).alias("eq"),
+    )
+    sig = _pin(
+        eq.select("vec_id", "embedding", "nrm", srp_signature(F.col("eq")).alias("sig")),
+        "srp_sig",
+    )
+    mask = (1 << SRP_BAND_BITS) - 1
+    bands = sig.select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_id"),
+                        (
+                            F.shiftright(F.col("sig"), bi * SRP_BAND_BITS)
+                            .bitwiseAND(F.lit(mask))
+                        ).alias("band_key"),
+                    )
+                    for bi in range(SRP_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("vec_id", "embedding", "nrm", "band.band_id", "band.band_key")
+    q = bands.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("band_id").alias("q_band_id"),
+        F.col("band_key").alias("q_band_key"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cand = (
+        bands.join(
+            F.broadcast(q),
+            (F.col("band_id") == F.col("q_band_id"))
+            & (F.col("band_key") == F.col("q_band_key"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            r4(
+                cosine_pair(F.col("q_emb"), F.col("embedding"),
+                            F.col("q_nrm"), F.col("nrm"))
+            ).alias("cosine"),
+        )
+        .distinct()  # a pair sharing several bands counts once
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def q_ann_recall_at_k(spark, sf_dir):
+    """Per-method recall@{TOP_K} of every approximate index against the
+    brute-force truth (micro-averaged over the query set): n_hits =
+    |approx top-k ∩ exact top-k| summed over queries, n_truth = |exact
+    top-k| rows. Both sides are engine-exact (quantized assignment,
+    r4-rounded cosine, neighbor_id tie-break), so the recall numbers are
+    oracle-checkable — an index without a measured recall number can't
+    be tuned."""
+    truth = _pin(
+        q_ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id"),
+        "ann_truth",
+    )
+    legs = [
+        ("ivf", q_ann_ivf_bucketed(spark, sf_dir)),
+        ("ivf_multiprobe", q_ann_ivf_multiprobe(spark, sf_dir)),
+        ("srp", srp_topk(spark, sf_dir)),
+    ]
+    unioned = None
+    for name, df in legs:
+        leg = df.select(
+            F.lit(name).alias("method"), "query_id", "neighbor_id"
+        )
+        unioned = leg if unioned is None else unioned.unionByName(leg)
+    hits = (
+        unioned.join(truth, ["query_id", "neighbor_id"])
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    denom = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    return hits.crossJoin(denom).select(  # 3x1 — the verdict-frame shape
+        "method",
+        "n_hits",
+        "n_truth",
+        r4(F.col("n_hits").cast("double") / F.col("n_truth")).alias("recall_at_k"),
+    )
+
+
+def _sql_srp_topk() -> str:
+    return f"""
+WITH {_sql_srp_keyed_ctes()},
+srp_cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         floor((list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])) * 10000 + 0.5) / 10000 AS cosine
+  FROM keyed q JOIN keyed c
+    ON q.band_id = c.band_id AND q.band_key = c.band_key AND q.vec_id != c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT query_id, rank, neighbor_id, cosine
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM srp_cand
+) WHERE rank <= {TOP_K}
+"""
+
+
+def _sql_recall_at_k() -> str:
+    return f"""
+WITH truth AS (SELECT query_id, neighbor_id FROM ({SQL_ANN_BRUTEFORCE})),
+legs AS (
+  SELECT 'ivf' AS method, query_id, neighbor_id FROM ({SQL_ANN_IVF})
+  UNION ALL
+  SELECT 'ivf_multiprobe', query_id, neighbor_id FROM ({SQL_ANN_IVF_MULTIPROBE})
+  UNION ALL
+  SELECT 'srp', query_id, neighbor_id FROM ({_sql_srp_topk()})
+),
+hits AS (
+  SELECT method, count(*) AS n_hits
+  FROM legs JOIN truth USING (query_id, neighbor_id)
+  GROUP BY 1
+),
+denom AS (SELECT count(*) AS n_truth FROM truth)
+SELECT method, CAST(n_hits AS BIGINT) AS n_hits, CAST(n_truth AS BIGINT) AS n_truth,
+       floor((CAST(n_hits AS DOUBLE) / n_truth) * 10000 + 0.5) / 10000 AS recall_at_k
+FROM hits, denom
 """
 
 
@@ -770,6 +929,7 @@ QUERIES = {
     "ann_kmeans_assign": q_ann_kmeans_assign,
     "ann_kmeans_k8_assign": q_ann_kmeans_k8_assign,
     "ann_centroid_per_cell": q_centroid_per_cell,
+    "ann_recall_at_k": q_ann_recall_at_k,
     "dedup_embedding_pairs_bucketed": q_embedding_dup_bucketed,
     "dedup_embedding_srp_pairs": q_embedding_srp_pairs,
 }
@@ -782,6 +942,7 @@ ORACLES = {
     "ann_kmeans_assign": _sql_kmeans_assign(),
     "ann_kmeans_k8_assign": _sql_kmeans_k_assign(KMEANS_K),
     "ann_centroid_per_cell": SQL_CENTROID,
+    "ann_recall_at_k": _sql_recall_at_k(),
     "dedup_embedding_pairs_bucketed": SQL_EMBEDDING_DUP_BUCKETED,
     "dedup_embedding_srp_pairs": _sql_srp_pairs(),
 }

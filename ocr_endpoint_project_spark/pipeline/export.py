@@ -57,6 +57,57 @@ def export_results(results: DataFrame, out_dir: str) -> dict:
     return summary
 
 
+# the reference's explicit OCR decision weights — "prioritize extraction
+# quality" (scripts/generate_decision_report.py:158-200)
+OCR_DECISION_WEIGHTS = (
+    ("avg_cer_pct", "s_cer", False, 0.35),
+    ("avg_wer_pct", "s_wer", False, 0.25),
+    ("avg_layout_pct", "s_layout", True, 0.20),
+    ("avg_time_seconds", "s_time", False, 0.10),
+    ("total_cost_usd", "s_cost", False, 0.10),
+)
+
+
+def ocr_decision_scores(summary: DataFrame) -> DataFrame:
+    """The reference's OCR decision table (CER/WER/layout/time/cost
+    weighted 0.35/0.25/0.20/0.10/0.10,
+    ``scripts/generate_decision_report.py:158-200``) over a
+    ``per_model_summary`` frame: min-max normalize each metric across
+    models (all-equal column -> 1.0, the reference's nunique<=1 rule;
+    lower-is-better metrics flipped), then the weighted sum.
+
+    Pure Catalyst over a k-row model table — the min/max bounds frame is
+    1 row, broadcast into the k-row crossJoin.
+    """
+    bounds = summary.agg(
+        *[
+            f
+            for (c, _, _, _) in OCR_DECISION_WEIGHTS
+            for f in (F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}"))
+        ]
+    )
+    j = summary.crossJoin(F.broadcast(bounds))
+    norm_cols = []
+    for c, s, higher, _w in OCR_DECISION_WEIGHTS:
+        mn, mx = F.col(f"mn_{c}"), F.col(f"mx_{c}")
+        scaled = (F.col(c) - mn) / (mx - mn)
+        norm = F.when(mx == mn, F.lit(1.0)).otherwise(
+            scaled if higher else F.lit(1.0) - scaled
+        )
+        norm_cols.append(F.round(norm, 4).alias(s))
+    normed = j.select("model_name", *norm_cols, "n_docs")
+    score = None
+    for _c, s, _h, w in OCR_DECISION_WEIGHTS:
+        term = F.lit(w) * F.col(s)
+        score = term if score is None else score + term
+    return normed.select(
+        "model_name",
+        *[F.col(s) for _, s, _, _ in OCR_DECISION_WEIGHTS],
+        F.round(score, 4).alias("decision_score"),
+        "n_docs",
+    )
+
+
 def decision_report(spark, sf_dir: str, out_path: str) -> str:
     """Render the ranking aggregates into a human-readable Markdown
     decision report.
@@ -118,6 +169,34 @@ def decision_report(spark, sf_dir: str, out_path: str) -> str:
         f"**Winner: {winner}** — weighted score "
         f"{ws[winner]['weighted_score']:.4f}, Borda {borda.get(winner, 0.0):.4f}, "
         f"{cond.get(winner, 0)} Condorcet win(s).",
+        "",
+        "## OCR model ranking (extraction-quality weights)",
+        "",
+        "_CER/WER/layout/time/cost weighted 0.35/0.25/0.20/0.10/0.10 — the",
+        "reference's explicit OCR decision weights",
+        "(scripts/generate_decision_report.py:158-200), over the benchmark",
+        "fan-out's per-model summary._",
+        "",
+        "| model | decision_score | s_cer | s_wer | s_layout | s_time | s_cost | n_docs |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    from ..pipeline.benchmark import per_model_summary, run_model_benchmark
+    from ..sources.pages import pages_from_documents
+
+    bench = run_model_benchmark(pages_from_documents(spark, sf_dir), num_partitions=16)
+    ocr_rows = ocr_decision_scores(per_model_summary(bench)).collect()
+    ocr_rows.sort(key=lambda r: (-r["decision_score"], r["model_name"]))
+    for r in ocr_rows:
+        lines.append(
+            f"| {r['model_name']} | {r['decision_score']:.4f} | {r['s_cer']:.4f} "
+            f"| {r['s_wer']:.4f} | {r['s_layout']:.4f} | {r['s_time']:.4f} "
+            f"| {r['s_cost']:.4f} | {r['n_docs']} |"
+        )
+    ocr_winner = ocr_rows[0]
+    lines += [
+        "",
+        f"**OCR winner: {ocr_winner['model_name']}** — decision score "
+        f"{ocr_winner['decision_score']:.4f} over {ocr_winner['n_docs']} documents.",
         "",
         "## Reliability — success rate by user (top 10 by volume)",
         "",

@@ -79,3 +79,38 @@ def test_decision_report_renders_table_and_winner(spark, tmp_path):
     )
     assert "**Winner: " in text
     assert "success rate by user" in text
+
+    # the OCR-weights table (reference decision weights 0.35/0.25/0.20/
+    # 0.10/0.10) renders alongside the event-based one, and the real
+    # extractor (byte-identical -> best CER/WER/layout) wins it
+    assert "## OCR model ranking (extraction-quality weights)" in text
+    assert "| model | decision_score |" in text
+    assert "**OCR winner: structured**" in text
+
+
+def test_ocr_decision_scores_weights_and_ties(spark):
+    """Min-max semantics mirror the reference exactly: lower-is-better
+    metrics flip, an all-equal column normalizes to 1.0 for every model,
+    and the score is the documented weighted sum."""
+    from ocr_endpoint_project_spark.pipeline.export import ocr_decision_scores
+
+    summary = spark.createDataFrame(
+        [
+            # model, cer, wer, layout, time, cost, n_docs
+            ("good", 0.0, 0.0, 100.0, 2.0, 5.0, 10),
+            ("bad", 10.0, 20.0, 50.0, 1.0, 5.0, 10),
+        ],
+        "model_name string, avg_cer_pct double, avg_wer_pct double, "
+        "avg_layout_pct double, avg_time_seconds double, total_cost_usd double, "
+        "n_docs long",
+    )
+    rows = {r["model_name"]: r for r in ocr_decision_scores(summary).collect()}
+    g, b = rows["good"], rows["bad"]
+    # lower-is-better: best cer/wer -> 1.0; higher-is-better layout -> 1.0
+    assert (g["s_cer"], g["s_wer"], g["s_layout"]) == (1.0, 1.0, 1.0)
+    assert (b["s_cer"], b["s_wer"], b["s_layout"]) == (0.0, 0.0, 0.0)
+    # time: 'bad' is faster -> 1.0 there; cost ties -> 1.0 for BOTH
+    assert (g["s_time"], b["s_time"]) == (0.0, 1.0)
+    assert (g["s_cost"], b["s_cost"]) == (1.0, 1.0)
+    assert g["decision_score"] == round(0.35 + 0.25 + 0.20 + 0.0 + 0.10, 4)
+    assert b["decision_score"] == round(0.10 + 0.10, 4)
