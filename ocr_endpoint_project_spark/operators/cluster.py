@@ -23,6 +23,8 @@ Scale design:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -103,17 +105,71 @@ def connected_components(vertices: DataFrame, edges: DataFrame) -> DataFrame:
     return labels.select("doc_id", F.col("lab").alias("cluster_id"))
 
 
+# pair count below which components are resolved driver-side: a
+# union-find over the collected pair list replaces ~4 Spark jobs PER
+# CC ROUND (neighbor join, pointer jump, checkpoint, convergence agg)
+# whose fixed scheduling cost dominates tiny graphs. 1e6 pairs ≈ 32 MB
+# on the driver — far below any sane driver heap; above it, the
+# distributed loop (same labels, min-id per component) takes over.
+CC_DRIVER_MAX_PAIRS = int(os.environ.get("SPARK_GRAFT_CC_DRIVER_MAX_PAIRS", "1000000"))
+
+
+def _driver_union_find(pair_rows: list[tuple]) -> dict:
+    """Min-id union-find over (doc_a, doc_b) tuples — exact same
+    component labeling as connected_components (label = component min)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pair_rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min id becomes the root, so root == component min
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
 def keeper_frame(ids: DataFrame, pairs: DataFrame) -> DataFrame:
     """pairs (doc_a, doc_b) + full id table (doc_id) -> per-id cluster
     assignment with keeper flag and size. Iterates ONLY over pair
     endpoints (duplicates are a small fraction of the corpus at 100 TB);
     untouched ids are singleton clusters by definition and join back
-    without ever entering the loop."""
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).toDF("src", "dst")
-    endpoints = edges.select(F.col("src").alias("doc_id")).distinct()
-    labs = connected_components(endpoints, edges)
+    without ever entering the loop.
+
+    Adaptive execution: the pair frame (already the bounded result of a
+    banded candidate join + verify) is counted once; at or below
+    CC_DRIVER_MAX_PAIRS the components resolve driver-side (union-find
+    over the collected pairs — identical min-id labels, none of the
+    per-round job overhead), above it the distributed label-propagation
+    loop runs. Both paths are covered by tests and produce identical
+    frames."""
+    n_pairs = pairs.count()
+    if n_pairs <= CC_DRIVER_MAX_PAIRS:
+        spark = pairs.sparkSession
+        rows = [(r[0], r[1]) for r in pairs.select("doc_a", "doc_b").collect()]
+        labels = _driver_union_find(rows)
+        schema = pairs.select(
+            F.col("doc_a").alias("doc_id"), F.col("doc_a").alias("lab")
+        ).schema
+        labs = spark.createDataFrame(
+            [(k, v) for k, v in labels.items()], schema
+        ).select("doc_id", F.col("lab").alias("cluster_id"))
+        endpoints = labs.select("doc_id")
+    else:
+        edges = pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        ).toDF("src", "dst")
+        endpoints = edges.select(F.col("src").alias("doc_id")).distinct()
+        labs = connected_components(endpoints, edges)
     singletons = ids.join(endpoints, "doc_id", "left_anti").select(
         "doc_id", F.col("doc_id").alias("cluster_id")
     )

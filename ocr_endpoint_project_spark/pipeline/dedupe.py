@@ -19,33 +19,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.cluster import connected_components
+from ..operators.cluster import keeper_frame
 
 
 def resolve_clusters(pairs: DataFrame, docs: DataFrame) -> DataFrame:
     """(doc_a, doc_b) near-dup pairs + full doc table -> per-doc cluster
-    assignment (doc_id, cluster_id, is_keeper, cluster_size)."""
-    p = pairs.select("doc_a", "doc_b")
-    edges = p.union(
-        p.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).toDF("src", "dst")
-    # loop only over pair endpoints; untouched docs are singletons
-    endpoints = edges.select(F.col("src").alias("doc_id")).distinct()
-    labs = connected_components(endpoints, edges).union(
-        docs.select("doc_id")
-        .join(endpoints, "doc_id", "left_anti")
-        .select("doc_id", F.col("doc_id").alias("cluster_id"))
-    )
-    sizes = labs.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return (
-        labs.join(sizes, "cluster_id")
-        .select(
-            "doc_id",
-            "cluster_id",
-            (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
-            "cluster_size",
-        )
-    )
+    assignment (doc_id, cluster_id, is_keeper, cluster_size).
+
+    Delegates to :func:`operators.cluster.keeper_frame` — endpoints-only
+    component resolution with the adaptive driver-side union-find
+    short-circuit for small pair sets — so the user-facing pipeline and
+    the driver queries share one resolution code path."""
+    return keeper_frame(docs.select("doc_id"), pairs.select("doc_a", "doc_b"))
 
 
 def dedupe_corpus(

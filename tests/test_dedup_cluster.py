@@ -101,6 +101,34 @@ def test_cluster_keeper_covers_all_docs(spark):
     out.unpersist()
 
 
+def test_keeper_frame_driver_and_distributed_paths_agree(spark, monkeypatch):
+    """The adaptive CC short-circuit (driver union-find for small pair
+    sets) must produce the EXACT frame the distributed label-propagation
+    loop produces — same labels, keepers, and sizes."""
+    import ocr_endpoint_project_spark.operators.cluster as cl
+
+    ids = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    # two multi-node components (a path and a triangle) + singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8), (8, 9), (7, 9)],
+        "doc_a long, doc_b long",
+    )
+
+    def frame_to_set(df):
+        return {
+            (r["doc_id"], r["cluster_id"], r["is_keeper"], r["cluster_size"])
+            for r in df.collect()
+        }
+
+    driver_path = frame_to_set(cl.keeper_frame(ids, pairs))  # 6 pairs << cap
+    monkeypatch.setattr(cl, "CC_DRIVER_MAX_PAIRS", 0)  # force distributed
+    dist_path = frame_to_set(cl.keeper_frame(ids, pairs))
+    assert driver_path == dist_path
+    assert (1, 1, True, 4) in driver_path and (4, 1, False, 4) in driver_path
+    assert (7, 7, True, 3) in driver_path
+    assert (0, 0, True, 1) in driver_path  # singleton untouched
+
+
 def test_dedupe_corpus_end_to_end(spark):
     """pipeline/dedupe.py: near-dup pairs collapse to one keeper each,
     non-duplicated docs survive untouched."""

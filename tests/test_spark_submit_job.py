@@ -87,4 +87,4 @@ def test_spark_submit_dedupe_job(spark, tmp_path):
     clusters = spark.read.parquet(os.path.join(out_dir, "clusters"))
     assert clusters.count() == n_in
     # signatures were materialized (the 100-TB shape), not cached
-    assert os.path.isdir(os.path.join(out_dir, "signatures", "lsh_verify_shingles"))
+    assert os.path.isdir(os.path.join(out_dir, "signatures", "lsh_hashed_shingles"))
