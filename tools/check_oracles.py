@@ -2,7 +2,10 @@
 entry on Spark and its oracle_sql() on DuckDB at sf0.01, compare
 row-count, schema (column names), and order-insensitive values.
 
-Usage: python tools/check_oracles.py [name ...]
+Usage: python tools/check_oracles.py [--json OUT.json] [name ...]
+
+With --json, also writes a driver-style record per query:
+{name: {rows_match, schema_match, hash_match, spark_rows, oracle_rows, err}}
 """
 
 from __future__ import annotations
@@ -53,13 +56,19 @@ def check(only: list[str], sf_dir: str = SF_DIR, spark=None) -> list[str]:
     oracles = entrymod.oracle_sql()
     names = only or list(queries)
     failed = []
+    record: dict = {}
     for name in names:
+        record[name] = {
+            "rows_match": False, "schema_match": False, "hash_match": False,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
         try:
             sdf = queries[name](spark, sf_dir)
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
             if name not in oracles:
                 print(f"  {name}: rows-only ({len(s_rows)} rows) — no oracle")
+                record[name].update(spark_rows=len(s_rows), err="rows-only")
                 continue
             rel = con.sql(oracles[name])
             d_cols = rel.columns
@@ -85,6 +94,11 @@ def check(only: list[str], sf_dir: str = SF_DIR, spark=None) -> list[str]:
                         ok_types = False
                         print(f"    dtype mismatch on {c}: spark={sd} duck={dd}")
             status = "OK" if (ok_cols and ok_count and ok_vals and ok_types) else "FAIL"
+            record[name].update(
+                rows_match=ok_count, schema_match=ok_cols,
+                hash_match=bool(ok_vals and ok_types),
+                spark_rows=len(s_rows), oracle_rows=len(d_rows),
+            )
             print(
                 f"  {name}: {status} spark={len(s_rows)} duck={len(d_rows)} "
                 f"cols={'=' if ok_cols else f'{sorted(s_cols)} vs {sorted(d_cols)}'}"
@@ -99,12 +113,27 @@ def check(only: list[str], sf_dir: str = SF_DIR, spark=None) -> list[str]:
                         print(f"    spark: {x}\n    duck : {y}")
         except Exception as e:  # noqa: BLE001
             failed.append(name)
+            record[name]["err"] = f"{type(e).__name__}: {str(e)[:300]}"
             print(f"  {name}: ERROR {type(e).__name__}: {str(e)[:300]}")
     if own_spark:
         spark.stop()
     print(f"{len(names) - len(failed)}/{len(names)} OK; failed: {failed}")
+    check.last_record = record
     return failed
 
 
 if __name__ == "__main__":
-    raise SystemExit(1 if check(sys.argv[1:]) else 0)
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    rc = 1 if check(args) else 0
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w", encoding="utf-8") as f:
+            _json.dump(check.last_record, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
+    raise SystemExit(rc)
