@@ -73,12 +73,16 @@ def time_extraction(spark, replicas: int, partitions: int) -> tuple[float, int]:
 
 
 def _session(name: str, cores: int, aqe: bool = True):
-    # small Arrow batches win for binary payloads: the JVM VarBinary
-    # vector path degrades superlinearly past ~1 MB batches (measured:
-    # 64-row batches move 1.2 GB 3.4x faster than 2048-row ones), and 64
-    # is also the bounded-memory setting for 10 MB blobs. AQE is disabled
-    # for the fixed-partitioning scaling runs (its per-stage re-planning
-    # adds constant latency and buys nothing for a static extraction job).
+    # Arrow batch sizing is a trade: the JVM VarBinary vector path
+    # degrades superlinearly past ~5-10 MB batches (64-row batches moved
+    # 1.2 GB 3.4x faster than 2048-row at 500 KB/row), while the Python
+    # side pays fixed pandas/kernel overhead PER BATCH. At this bench's
+    # ~10 KB page weight the end-to-end optimum is ~512 rows (~5 MB
+    # batches): measured 64/128/256/512/1024/2048 -> 7.3/7.0/7.3/8.0/
+    # 7.1/6.3 kdocs/s. Production rule stays rows x max_doc_bytes <=
+    # ~5-10 MB (session.py). AQE is disabled for the fixed-partitioning
+    # scaling runs (its per-stage re-planning adds constant latency and
+    # buys nothing for a static extraction job).
     conf = {
         # the scaling protocol SIGSTOPs the idle leg's JVM for up to
         # ~70 s; on thaw, sub-timeout futures (heartbeats, 10 s default)
@@ -92,7 +96,7 @@ def _session(name: str, cores: int, aqe: bool = True):
         app_name=name,
         master=f"local[{cores}]",
         shuffle_partitions=cores,
-        arrow_batch_rows=64,
+        arrow_batch_rows=int(os.environ.get("SPARK_GRAFT_ARROW_ROWS", "512")),
         extra_conf=conf,
     )
 
