@@ -312,6 +312,146 @@ SQL_LANG_ROLLUP = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filter: fraction-of-repetition signals that a
+# web-scale pretraining pipeline rejects documents on (boilerplate spam,
+# keyword stuffing, navigation loops). Token-count fractions rather than
+# character fractions, with documented thresholds; keep decision computed
+# over the SAME r4-quantized values in both engines so rounding-boundary
+# rows can never flip the boolean across engines.
+# ---------------------------------------------------------------------------
+
+REP_TOP_TOKEN_MAX = 0.30   # most frequent token may cover <= 30% of tokens
+REP_DUP_2GRAM_MAX = 0.20   # <= 20% of bigrams may be repeats
+REP_DUP_3GRAM_MAX = 0.18   # <= 18% of trigrams may be repeats
+
+
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import word_ngrams
+
+    docs = _docs(spark, sf_dir).select("doc_id", norm_tokens("text").alias("toks"))
+    # top-token count via explode -> groupBy: the 100-TB shape (keyed
+    # shuffle with map-side partial counts), not an O(n^2) per-doc HOF
+    top = (
+        docs.select("doc_id", F.explode("toks").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_cnt"))
+    )
+
+    def dup_frac(grams):
+        n = F.size(grams)
+        return F.when(n <= 0, F.lit(0.0)).otherwise(
+            1.0 - F.size(F.array_distinct(grams)).cast("double") / n
+        )
+
+    g2 = word_ngrams(F.col("toks"), 2)
+    g3 = word_ngrams(F.col("toks"), 3)
+    base = docs.join(top, "doc_id", "left").select(
+        "doc_id",
+        r4(
+            F.coalesce(F.col("top_cnt"), F.lit(0)).cast("double")
+            / F.greatest(F.size("toks"), F.lit(1))
+        ).alias("top_token_frac"),
+        r4(dup_frac(g2)).alias("dup_2gram_frac"),
+        r4(dup_frac(g3)).alias("dup_3gram_frac"),
+    )
+    return base.select(
+        "doc_id",
+        "top_token_frac",
+        "dup_2gram_frac",
+        "dup_3gram_frac",
+        (
+            (F.col("top_token_frac") <= REP_TOP_TOKEN_MAX)
+            & (F.col("dup_2gram_frac") <= REP_DUP_2GRAM_MAX)
+            & (F.col("dup_3gram_frac") <= REP_DUP_3GRAM_MAX)
+        ).alias("keep_repetition"),
+    )
+
+
+def _sql_ngrams(n: int) -> str:
+    return (
+        f"list_transform(range(0, greatest(len(toks) - {n - 1}, 0)), "
+        f"i -> array_to_string(toks[i+1:i+{n}], ' '))"
+    )
+
+
+SQL_REPETITION = f"""
+WITH toks AS (SELECT doc_id, {_sql_tokens()} AS toks FROM documents),
+top AS (
+  SELECT doc_id, max(cnt) AS top_cnt
+  FROM (SELECT doc_id, t, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(toks) AS t FROM toks) GROUP BY 1, 2)
+  GROUP BY 1
+),
+fr AS (
+  SELECT t.doc_id,
+         floor((CAST(coalesce(top_cnt, 0) AS DOUBLE) / greatest(len(toks), 1)) * 10000 + 0.5) / 10000 AS top_token_frac,
+         floor((CASE WHEN len({_sql_ngrams(2)}) <= 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct({_sql_ngrams(2)})) AS DOUBLE) / len({_sql_ngrams(2)}) END) * 10000 + 0.5) / 10000 AS dup_2gram_frac,
+         floor((CASE WHEN len({_sql_ngrams(3)}) <= 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct({_sql_ngrams(3)})) AS DOUBLE) / len({_sql_ngrams(3)}) END) * 10000 + 0.5) / 10000 AS dup_3gram_frac
+  FROM toks t LEFT JOIN top USING (doc_id)
+)
+SELECT doc_id, top_token_frac, dup_2gram_frac, dup_3gram_frac,
+       (top_token_frac <= {REP_TOP_TOKEN_MAX}
+        AND dup_2gram_frac <= {REP_DUP_2GRAM_MAX}
+        AND dup_3gram_frac <= {REP_DUP_3GRAM_MAX}) AS keep_repetition
+FROM fr
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII scrub: redact emails / phone-like tokens before training — the
+# standard web-scale hygiene transform. The corpus has no PII, so the
+# query INJECTS deterministic PII from (doc_id, source) in Catalyst
+# (the repo's kernel-query pattern) and the oracle predicts both the
+# redaction counts and the scrubbed text byte-for-byte.
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[a-z0-9.]+@[a-z0-9.-]+"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact doc"),
+        F.col("doc_id"),
+        F.lit("@"),
+        F.col("source"),
+        F.lit(".example.com or 555-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", pii_text.alias("t"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
+        scrubbed.alias("scrubbed_text"),
+    )
+
+
+SQL_PII_SCRUB = f"""
+WITH pii AS (
+  SELECT doc_id,
+         text || ' contact doc' || doc_id || '@' || source || '.example.com or 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed_text
+FROM pii
+"""
+
+
 QUERIES = {
     "text_token_stats": q_token_stats,
     "text_quality_score": q_quality_score,
@@ -319,6 +459,8 @@ QUERIES = {
     "text_fingerprint": q_fingerprint,
     "text_bpe_token_count": q_bpe_token_count,
     "text_winnow_fingerprint": q_winnow_fingerprint,
+    "text_repetition_filter": q_repetition_filter,
+    "text_pii_scrub": q_pii_scrub,
     "metric_cer": q_cer,
     "metric_lang_rollup": q_lang_rollup,
 }
@@ -330,6 +472,8 @@ ORACLES = {
     "text_fingerprint": SQL_FINGERPRINT,
     "text_bpe_token_count": SQL_BPE_TOKEN_COUNT,
     "text_winnow_fingerprint": SQL_WINNOW,
+    "text_repetition_filter": SQL_REPETITION,
+    "text_pii_scrub": SQL_PII_SCRUB,
     "metric_cer": SQL_CER_Q,
     "metric_lang_rollup": SQL_LANG_ROLLUP,
 }

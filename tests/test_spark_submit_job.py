@@ -88,3 +88,32 @@ def test_spark_submit_dedupe_job(spark, tmp_path):
     assert clusters.count() == n_in
     # signatures were materialized (the 100-TB shape), not cached
     assert os.path.isdir(os.path.join(out_dir, "signatures", "lsh_hashed_shingles"))
+
+
+def test_compact_job_reduces_files_preserving_rows(spark, tmp_path):
+    """Compaction rewrites a many-small-files table into ~target-size
+    files with identical row content (count + order-insensitive md5)."""
+    from pyspark.sql import functions as F
+
+    from jobs.compact_job import compact
+
+    in_dir = str(tmp_path / "fragmented")
+    out_dir = str(tmp_path / "compacted")
+    df = spark.range(20000).select(
+        F.col("id").alias("doc_id"), F.md5(F.col("id").cast("string")).alias("payload")
+    )
+    df.repartition(64).write.parquet(in_dir)  # 64 small files
+
+    stats = compact(spark, in_dir, out_dir, target_file_mb=1)
+    assert stats["rows"] == 20000
+    assert stats["files_before"] >= 64
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] <= 4  # ~1.2 MB of data at 1 MB target
+
+    def checksum(path):
+        return spark.read.parquet(path).agg(
+            F.md5(F.concat_ws("", F.sort_array(F.collect_list(F.md5("payload")))))
+        ).collect()[0][0]
+
+    assert spark.read.parquet(out_dir).count() == 20000
+    assert checksum(in_dir) == checksum(out_dir)
