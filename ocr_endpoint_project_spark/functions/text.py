@@ -35,11 +35,17 @@ def cer_expr(gt: Column | str, pred: Column | str) -> Column:
 
 
 def word_ngrams(tokens: Column, n: int = 3) -> Column:
-    """Word n-gram shingles of a token array (space-joined strings)."""
-    return F.transform(
+    """Word n-gram shingles of a token array (space-joined strings).
+
+    Guarded for short inputs: fewer than n tokens -> empty array. Without
+    the guard, sequence(0, size-n) runs DESCENDING for size < n and the
+    slice start hits 0 — a runtime error, not an empty result (the SQL
+    twins guard the same way via greatest(len - n + 1, 0))."""
+    grams = F.transform(
         F.sequence(F.lit(0), F.size(tokens) - n),
         lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
     )
+    return F.when(F.size(tokens) < n, F.array().cast("array<string>")).otherwise(grams)
 
 
 def shingle_hash32(shingle: Column) -> Column:

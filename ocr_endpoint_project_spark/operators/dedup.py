@@ -524,6 +524,73 @@ WHERE floor((list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]
 """
 
 
+# ---------------------------------------------------------------------------
+# benchmark decontamination: n-gram overlap of every corpus document
+# against a (small) evaluation set — the GPT-3/PaLM-style hygiene pass
+# that keeps eval data out of training corpora. Scale shape: the EVAL
+# side's exploded grams are tiny (eval sets are thousands of docs, not
+# billions) and broadcast; the corpus side streams through a map-side
+# broadcast join and one groupBy(doc_id) — the 100-TB corpus never
+# shuffles on gram keys. Here the eval set derives deterministically
+# from the documents table (doc_id % 50 == 0), so the oracle replays it.
+# ---------------------------------------------------------------------------
+
+CONTAM_NGRAM = 8   # overlap gram length (13 in GPT-3; 8 fits ~200-token docs)
+EVAL_MODULUS = 50  # doc_id % 50 == 0 -> member of the synthetic eval set
+
+
+def q_decontaminate(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_ngrams(norm_tokens("text"), CONTAM_NGRAM))
+        ).alias("g"),
+    )
+    gr = grams.alias("gr")
+    ev = (
+        grams.filter(F.pmod(F.col("doc_id"), F.lit(EVAL_MODULUS)) == 0)
+        .select(F.col("doc_id").alias("eval_id"), "g")
+        .alias("ev")
+    )
+    hits = (
+        gr.join(
+            F.broadcast(ev),
+            (F.col("gr.g") == F.col("ev.g")) & (F.col("gr.doc_id") != F.col("ev.eval_id")),
+        )
+        .groupBy(F.col("gr.doc_id").alias("doc_id"))
+        .agg(F.countDistinct(F.col("gr.g")).alias("n"))
+    )
+    return docs.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_hit_grams"),
+        (F.coalesce(F.col("n"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def _sql_contam_ngrams() -> str:
+    return (
+        f"list_distinct(list_transform(range(0, greatest(len(t) - {CONTAM_NGRAM - 1}, 0)), "
+        f"i -> array_to_string(t[i+1:i+{CONTAM_NGRAM}], ' ')))"
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH toks AS (SELECT doc_id, {_sql_tokens()} AS t FROM documents),
+grams AS (SELECT doc_id, unnest({_sql_contam_ngrams()}) AS g FROM toks),
+ev AS (SELECT doc_id AS eval_id, g FROM grams WHERE doc_id % {EVAL_MODULUS} = 0),
+hits AS (
+  SELECT gr.doc_id, count(DISTINCT gr.g) AS n
+  FROM grams gr JOIN ev ON gr.g = ev.g AND gr.doc_id != ev.eval_id
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_hit_grams,
+       coalesce(n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -531,6 +598,7 @@ QUERIES = {
     "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "dedup_simhash": q_simhash,
     "dedup_embedding_pairs": q_embedding_dup_pairs,
+    "decontaminate_ngram_overlap": q_decontaminate,
 }
 
 ORACLES = {
@@ -540,4 +608,5 @@ ORACLES = {
     "dedup_minhash_lsh_pairs": SQL_MINHASH_LSH,
     "dedup_simhash": SQL_SIMHASH,
     "dedup_embedding_pairs": SQL_EMBEDDING_DUP,
+    "decontaminate_ngram_overlap": SQL_DECONTAMINATE,
 }

@@ -221,6 +221,35 @@ def test_hot_shingle_df_cap_bounds_candidates(spark, monkeypatch, tmp_path):
     assert pairs.count() == 0
 
 
+def test_decontaminate_flags_eval_overlap(spark, monkeypatch, tmp_path):
+    """A document sharing an 8-gram with an eval-set document (doc_id %
+    50 == 0) is contaminated; eval docs never contaminate themselves;
+    the eval gram side is broadcast (the corpus never shuffles on gram
+    keys)."""
+    import ocr_endpoint_project_spark.operators.dedup as dd
+
+    shared = " ".join(f"s{i}" for i in range(dd.CONTAM_NGRAM))  # one 8-gram
+    rows = [
+        (0, f"{shared} plus eval only tail words here now"),  # eval doc
+        (7, f"prefix tokens then {shared} appears verbatim"),  # contaminated
+        (9, "totally unrelated clean document text body words"),  # clean
+        (50, "another eval document without any overlap at all"),  # eval doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "documents.parquet")
+    docs.write.parquet(path)
+    monkeypatch.setattr(dd, "_docs", lambda s, d: s.read.parquet(path))
+
+    out = dd.q_decontaminate(spark, "ignored")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+    rows_out = {r["doc_id"]: r for r in out.collect()}
+    assert rows_out[7]["contaminated"] and rows_out[7]["n_hit_grams"] == 1
+    assert not rows_out[9]["contaminated"]
+    assert not rows_out[0]["contaminated"]  # self-match excluded
+    assert not rows_out[50]["contaminated"]
+
+
 def test_kmeans_k_assign_unlabeled(spark):
     """kmeans_assign_k needs no label column: every vector is assigned,
     cells come from the md5-seeded 0..k-1 range, and the trajectory is
