@@ -271,3 +271,21 @@ def test_kmeans_k_assign_unlabeled(spark):
         for r in kmeans_assign_k(emb, KMEANS_K).select("vec_id", "cell").collect()
     }
     assert rows == again
+
+
+def test_word_ngrams_short_inputs(spark):
+    """word_ngrams must return an EMPTY array (not crash, not wrap) for
+    inputs shorter than n — sequence(0, size-n) runs descending below n
+    tokens and slice(start=0) is a runtime error without the guard."""
+    from ocr_endpoint_project_spark.functions.text import word_ngrams
+
+    rows = [(k, " ".join(f"w{i}" for i in range(k))) for k in range(6)]
+    df = spark.createDataFrame(rows, "n int, text string").select(
+        "n", word_ngrams(F.split(F.col("text"), " "), 3).alias("g")
+    )
+    got = {r["n"]: r["g"] for r in df.collect()}
+    # note: split("") yields [""], one (empty) token — still < 3, empty grams
+    for k in range(3):
+        assert got[k] == []
+    assert got[3] == ["w0 w1 w2"]
+    assert got[5] == ["w0 w1 w2", "w1 w2 w3", "w2 w3 w4"]
