@@ -1,13 +1,17 @@
-"""Deterministic stand-in for the raster-OCR path (no image libs here).
+"""The scan-PNG path: real raster in, deterministic OCR out.
 
 The reference OCRs scanned pages via a remote API, one image per page
-(``ocr_common.py:431-468``). This sandbox has neither Pillow nor an OCR
-model, so the raster path is STUBBED deterministically: synthetic "scan"
-PNGs embed their page text in a PNG ``iTXt`` chunk with keyword
-``ocr_text`` (written by :func:`make_png_scan`), and extraction reads it
-back. The PNG container parsing (signature, chunk walk, CRC layout) is
-real; only the pixel->text step is faked. A real deployment swaps
-:func:`extract_png_text` for an OCR model call with the same signature.
+(``ocr_common.py:431-468``). This sandbox has neither an OCR model nor
+a rasterizer, so the pixel->TEXT step is deterministic: page text rides
+the raster as pixel VALUES in a framed row layout. Everything an image
+pipeline does around that step is REAL as of round 4 — signature/chunk/
+CRC walk, IHDR validation, IDAT inflate, scanline unfiltering for all
+five PNG filter types, row segmentation (``png_pixels.py``) — so scan
+payloads genuinely round-trip through the compressed raster, not
+through metadata. A real deployment swaps
+:func:`png_pixels.pages_from_pixels` for an OCR model call over the
+same decoded array. Legacy payloads whose text lives in ``iTXt``
+chunks (pre-round-4 caches) still decode via the metadata fallback.
 """
 
 from __future__ import annotations
@@ -29,19 +33,16 @@ def _chunk(ctype: bytes, body: bytes) -> bytes:
 
 
 def make_png_scan(page_texts: list[str], width: int = 612, height: int = 792) -> bytes:
-    """Build a minimal valid grayscale PNG carrying page texts in iTXt."""
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-    # one row of pixels is enough to be a valid image payload
-    raw = b"\x00" + b"\x80" * width
-    idat = zlib.compress(raw)
-    out = bytearray(PNG_MAGIC)
-    out += _chunk(b"IHDR", ihdr)
-    for text in page_texts:
-        body = OCR_KEYWORD + b"\x00\x00\x00\x00\x00" + text.encode("utf-8")
-        out += _chunk(b"iTXt", body)
-    out += _chunk(b"IDAT", idat)
-    out += _chunk(b"IEND", b"")
-    return bytes(out)
+    """Build a real grayscale PNG whose RASTER carries the page texts.
+
+    Pages are framed into pixel rows (``png_pixels.pixels_from_pages``),
+    rows are filter-encoded (cycling None/Sub/Up) and deflate-compressed
+    into IDAT. ``height`` is ignored — the raster is exactly as tall as
+    the framed pages (the parameter is kept for call-site stability).
+    """
+    from .png_pixels import encode_png_gray, pixels_from_pages
+
+    return encode_png_gray(pixels_from_pages(page_texts, width=width))
 
 
 def extract_png_text(payload: bytes) -> tuple[str, list[tuple[int, int, str]], int]:
@@ -54,6 +55,16 @@ def extract_png_text(payload: bytes) -> tuple[str, list[tuple[int, int, str]], i
     if not payload.startswith(PNG_MAGIC):
         raise ValueError("not a PNG payload")
     pages: list[str] = []
+    # primary path: decode the raster and read the framed pages out of
+    # the pixels (round 4 — the real IDAT/filter machinery)
+    try:
+        from .png_pixels import decode_png_gray, pages_from_pixels
+
+        pages = pages_from_pixels(decode_png_gray(payload))
+    except ValueError:
+        pages = []  # not a raster-framed scan: fall through to metadata
+    if pages:
+        return _pages_to_result(pages)
     i = len(PNG_MAGIC)
     n = len(payload)
     while i + 8 <= n:
@@ -72,6 +83,11 @@ def extract_png_text(payload: bytes) -> tuple[str, list[tuple[int, int, str]], i
         if ctype == b"IEND":
             break
         i += 12 + length  # length + type + body + crc
+    return _pages_to_result(pages)
+
+
+def _pages_to_result(pages: list[str]) -> tuple[str, list[tuple[int, int, str]], int]:
+    """Shared page-join contract (``"\\n\\n"`` join + strip + spans)."""
     parts: list[str] = []
     spans: list[tuple[int, int, str]] = []
     pos = 0

@@ -1,0 +1,102 @@
+"""The real PNG raster codec: scanline filters (all five types, both
+directions), whole-image roundtrip, page framing, legacy-iTXt fallback,
+and the now-real grayscale resize."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from ocr_endpoint_project_spark.extraction_core.png_pixels import (
+    PNG_MAGIC,
+    _chunk,
+    decode_png_gray,
+    encode_png_gray,
+    filter_row,
+    pages_from_pixels,
+    pixels_from_pages,
+    resize_gray,
+    unfilter_row,
+)
+from ocr_endpoint_project_spark.extraction_core.png_stub import (
+    OCR_KEYWORD,
+    extract_png_text,
+    make_png_scan,
+)
+
+
+def test_filters_roundtrip_all_types():
+    rng = np.random.RandomState(7)
+    prev = rng.randint(0, 256, 64).astype(np.uint8)
+    row = rng.randint(0, 256, 64).astype(np.uint8)
+    for ftype in range(5):
+        filtered = filter_row(row, prev, ftype)
+        back = unfilter_row(filtered, prev, ftype)
+        assert (back == row).all(), f"filter {ftype} did not invert"
+
+
+def test_decode_handles_average_and_paeth_streams():
+    """A PNG whose rows use filters 3 and 4 (never emitted by our
+    encoder) must still decode — the decoder is general."""
+    rng = np.random.RandomState(3)
+    pixels = rng.randint(0, 256, (6, 40)).astype(np.uint8)
+    raw = bytearray()
+    prev = np.zeros(40, dtype=np.uint8)
+    for r in range(6):
+        ftype = 3 if r % 2 == 0 else 4
+        raw.append(ftype)
+        raw += filter_row(pixels[r], prev, ftype).tobytes()
+        prev = pixels[r]
+    ihdr = struct.pack(">IIBBBBB", 40, 6, 8, 0, 0, 0, 0)
+    payload = (
+        PNG_MAGIC + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b"")
+    )
+    assert (decode_png_gray(payload) == pixels).all()
+
+
+def test_encode_decode_roundtrip():
+    rng = np.random.RandomState(11)
+    pixels = rng.randint(0, 256, (9, 33)).astype(np.uint8)
+    assert (decode_png_gray(encode_png_gray(pixels)) == pixels).all()
+
+
+def test_page_framing_roundtrip_unicode_and_multirow():
+    pages = ["short", "unicode: ✓ ناص é", "x" * 2000]  # 2000 > width
+    arr = pixels_from_pages(pages, width=612)
+    assert pages_from_pixels(arr) == pages
+
+
+def test_scan_text_rides_the_raster_not_metadata():
+    png = make_png_scan(["page one text\nwith a line", "page two text"])
+    assert OCR_KEYWORD not in png  # no iTXt carrier anymore
+    text, spans, n_pages = extract_png_text(png)
+    assert n_pages == 2
+    assert text == "page one text\nwith a line\n\npage two text"
+    assert [s[2] for s in spans] == ["page_1", "page_2"]
+
+
+def test_legacy_itxt_payloads_still_decode():
+    ihdr = struct.pack(">IIBBBBB", 8, 1, 8, 0, 0, 0, 0)
+    idat = zlib.compress(b"\x00" + b"\x80" * 8)
+    legacy = (
+        PNG_MAGIC + _chunk(b"IHDR", ihdr)
+        + _chunk(b"iTXt", OCR_KEYWORD + b"\x00\x00\x00\x00\x00" + "old page".encode())
+        + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+    )
+    text, _spans, n_pages = extract_png_text(legacy)
+    assert (text, n_pages) == ("old page", 1)
+
+
+def test_resize_image_real_pixels():
+    from ocr_endpoint_project_spark.operators.multimodal import resize_image
+
+    pixels = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    out = resize_image(encode_png_gray(pixels), 4, 4)
+    small = decode_png_gray(out)
+    assert small.shape == (4, 4)
+    assert (small == resize_gray(pixels, 4, 4)).all()
+    # nearest-neighbor at 2:1 keeps every other pixel exactly
+    assert (small == pixels[::2, ::2]).all()
