@@ -365,8 +365,17 @@ def _cluster_lines(spans: list[tuple[float, float, float, str]]):
 
 
 def _line_text(line: dict) -> str:
-    rtl = is_rtl_text("".join(t for _, t in line["spans"]))
-    ordered = sorted(line["spans"], key=lambda s: -s[0] if rtl else s[0])
+    """Join a line's spans in reading order.
+
+    ``line["spans"]`` is x-ASCENDING by construction (_cluster_lines
+    sorts each baseline group by x before splitting runs), so LTR needs
+    no re-sort and RTL is the stable sort by -x. NOTE: reversal is NOT
+    equivalent to sorting by -x when two spans share an x (stable sort
+    preserves their order; reversal would swap them), so RTL keeps the
+    explicit sort."""
+    spans = line["spans"]
+    rtl = is_rtl_text("".join(t for _, t in spans))
+    ordered = sorted(spans, key=lambda s: -s[0]) if rtl else spans
     return " ".join(t for _, t in ordered if t)
 
 

@@ -968,6 +968,66 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# sessionization: gap-based sessions over the events stream — the classic
+# event-analytics window composition (lag -> break flag -> running sum ->
+# per-session rollup). One shuffle keyed by user_id serves every window;
+# at 10^12 events this is the standard sessionize shape (skewed power
+# users are bounded by their own event counts, not by a crossJoin).
+# Epoch arithmetic is floored to whole seconds IN BOTH ENGINES before any
+# gap comparison so microsecond representation can never flip a break.
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_SEC = 1800  # 30 min of silence ends a session
+
+
+def q_sessionize(spark, sf_dir):
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_id", "ts", F.unix_timestamp(F.col("ts")).alias("es")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = (
+        F.when(
+            F.lag("es").over(w).isNull()
+            | ((F.col("es") - F.lag("es").over(w)) > SESSION_GAP_SEC),
+            1,
+        )
+        .otherwise(0)
+    )
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = e.withColumn("brk", brk).withColumn(
+        "session_seq", F.sum("brk").over(run).cast("bigint")
+    )
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("es").alias("start_epoch"),
+        (F.max("es") - F.min("es")).cast("bigint").alias("duration_sec"),
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH e AS (
+  SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+),
+m AS (
+  SELECT *, CASE WHEN lag(es) OVER w IS NULL
+                   OR es - lag(es) OVER w > {SESSION_GAP_SEC}
+                 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM m
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(es) AS start_epoch, CAST(max(es) - min(es) AS BIGINT) AS duration_sec
+FROM s GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "agg_per_model_summary": q_per_model_summary,
     "agg_error_mask": q_error_mask_agg,
@@ -992,6 +1052,7 @@ QUERIES = {
     "tpch_local_supplier_revenue": q_local_supplier_revenue,
     "tpch_order_priority": q_order_priority,
     "tpch_forecast_revenue": q_forecast_revenue,
+    "win_sessionize": q_sessionize,
 }
 
 ORACLES = {
@@ -1018,4 +1079,5 @@ ORACLES = {
     "tpch_local_supplier_revenue": SQL_LOCAL_SUPPLIER,
     "tpch_order_priority": SQL_ORDER_PRIORITY,
     "tpch_forecast_revenue": SQL_FORECAST_REVENUE,
+    "win_sessionize": SQL_SESSIONIZE,
 }
