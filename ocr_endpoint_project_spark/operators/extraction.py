@@ -224,6 +224,87 @@ FROM documents GROUP BY source
 
 
 # ---------------------------------------------------------------------------
+# URL canonicalization: the normalize-before-dedup step every crawler
+# pipeline runs (fragments dropped, default ports stripped, scheme/host
+# lowercased, tracking params removed, trailing slash normalized).
+# Messy variants are constructed deterministically from (doc_id, source)
+# in Catalyst — the repo's kernel-query pattern — so the oracle predicts
+# the canonical form AND the dedup consequence (variants of one page
+# canonicalize to one url) byte-for-byte. Pure regexp_replace chains,
+# RE2-compatible in both engines.
+# ---------------------------------------------------------------------------
+
+
+def canonicalize_url(col):
+    """Catalyst expression: canonical form of a URL column."""
+    u = F.col(col) if isinstance(col, str) else col
+    u = F.regexp_replace(u, r"#.*$", "")                      # fragment
+    u = F.regexp_replace(u, r"[?&](utm_[a-z]+|ref)=[^&#]*", "")  # tracking params
+    u = F.regexp_replace(u, r"\?$", "")                       # dangling '?'
+    u = F.regexp_replace(u, r"^(https?)://([^/]*):(443|80)(/|$)", r"$1://$2$4")
+    # lowercase scheme+host only (path stays case-sensitive)
+    head = F.lower(F.regexp_extract(u, r"^(https?://[^/]*)", 1))
+    tail = F.regexp_replace(u, r"^https?://[^/]*", "")
+    u = F.concat(head, tail)
+    # trailing slash (capture form: RE2 in DuckDB has no lookbehind)
+    return F.regexp_replace(u, r"([^/])/$", r"$1")
+
+
+def q_url_canonicalize(spark, sf_dir):
+    mod = F.pmod(F.col("doc_id"), F.lit(4))
+    messy = (
+        F.when(mod == 0, F.concat(F.lit("HTTPS://"), F.upper("source"),
+                                  F.lit(".Example/doc/"), F.col("doc_id"), F.lit("#frag")))
+        .when(mod == 1, F.concat(F.lit("https://"), F.col("source"),
+                                 F.lit(".example:443/doc/"), F.col("doc_id"),
+                                 F.lit("?utm_source=feed")))
+        .when(mod == 2, F.concat(F.lit("https://"), F.col("source"),
+                                 F.lit(".example/doc/"), F.col("doc_id"), F.lit("/")))
+        .otherwise(F.concat(F.lit("https://"), F.col("source"),
+                            F.lit(".example/doc/"), F.col("doc_id")))
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", messy.alias("url"))
+    return docs.select(
+        "doc_id",
+        "url",
+        canonicalize_url(F.col("url")).alias("canonical_url"),
+        (canonicalize_url(F.col("url")) != F.col("url")).alias("was_messy"),
+    )
+
+
+SQL_URL_CANONICALIZE = r"""
+WITH messy AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'HTTPS://' || upper(source) || '.Example/doc/' || doc_id || '#frag'
+           WHEN 1 THEN 'https://' || source || '.example:443/doc/' || doc_id || '?utm_source=feed'
+           WHEN 2 THEN 'https://' || source || '.example/doc/' || doc_id || '/'
+           ELSE 'https://' || source || '.example/doc/' || doc_id
+         END AS url
+  FROM documents
+), canon AS (
+  SELECT doc_id, url,
+    regexp_replace(
+      lower(regexp_extract(u4, '^(https?://[^/]*)', 1))
+        || regexp_replace(u4, '^https?://[^/]*', ''),
+      '([^/])/$', '\1') AS canonical_url
+  FROM (
+    SELECT doc_id, url,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(url, '#.*$', ''),
+            '[?&](utm_[a-z]+|ref)=[^&#]*', ''),
+          '\?$', ''),
+        '^(https?)://([^/]*):(443|80)(/|$)', '\1://\2\4') AS u4
+    FROM messy
+  )
+)
+SELECT doc_id, url, canonical_url, canonical_url != url AS was_messy FROM canon
+"""
+
+
+# ---------------------------------------------------------------------------
 # S5 quarantine + error taxonomy as a query: the reference's upload
 # validation errors are a first-class API surface
 # (docs/API_CONTRACT_V1.md:143-152, cv_api/main.py:38-40,322-348) — here
@@ -315,6 +396,7 @@ QUERIES = {
     "extract_cost_summary": q_extract_cost_summary,
     "web_host_rollup": q_web_host_rollup,
     "extract_error_taxonomy": q_extract_error_taxonomy,
+    "web_url_canonicalize": q_url_canonicalize,
 }
 
 _SQL_PRED = "regexp_replace(text, 'batch', 'match', 'g')"
@@ -380,4 +462,5 @@ ORACLES = {
     "extract_cost_summary": SQL_EXTRACT_COST,
     "web_host_rollup": SQL_WEB_HOST_ROLLUP,
     "extract_error_taxonomy": SQL_ERROR_TAXONOMY,
+    "web_url_canonicalize": SQL_URL_CANONICALIZE,
 }
