@@ -1,0 +1,99 @@
+"""Template-matching OCR over a synthetic 5x7 bitmap font — a real,
+self-contained optical recognizer (this environment ships no OCR model,
+so the engine brings its own for a font it also ships).
+
+The font: one 5x7 glyph per printable ASCII char (space = blank; other
+glyphs derive deterministically from md5(char), giving a min pairwise
+Hamming distance measured at import and asserted > 2*NOISE_BUDGET in
+tests). Rendering blits glyphs into 6x8 cells; recognition segments the
+cell grid, binarizes, and matches each cell against ALL 95 templates by
+Hamming distance — classical template-match OCR, tolerant to per-glyph
+pixel noise up to half the font's min distance. Unlike the framed-byte
+scan channel (png_pixels), nothing here inverts an encoding: a noisy
+glyph still decodes to its NEAREST template, which is what makes this
+recognition rather than deserialization.
+
+Composes with the real raster codec: render_glyph_png / ocr_glyph_png
+round-trip text through an actual compressed, scanline-filtered PNG.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from .png_pixels import decode_png_gray, encode_png_gray
+
+GLYPH_W, GLYPH_H = 5, 7
+CELL_W, CELL_H = GLYPH_W + 1, GLYPH_H + 1  # 1px inter-glyph spacing
+CHARSET = "".join(chr(c) for c in range(32, 127))
+
+
+def _glyph_bits(ch: str) -> np.ndarray:
+    """(GLYPH_H, GLYPH_W) bool bitmap for one char."""
+    if ch == " ":
+        return np.zeros((GLYPH_H, GLYPH_W), dtype=bool)
+    digest = hashlib.md5(ch.encode("ascii")).digest()
+    bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8))[: GLYPH_H * GLYPH_W]
+    g = bits.reshape(GLYPH_H, GLYPH_W).astype(bool)
+    if not g.any():  # astronomically unlikely, but a blank non-space glyph
+        g[0, 0] = True  # would collide with space — pin one pixel
+    return g
+
+
+FONT = {ch: _glyph_bits(ch) for ch in CHARSET}
+_TEMPLATES = np.stack([FONT[ch].reshape(-1) for ch in CHARSET]).astype(np.uint8)
+# min pairwise Hamming distance of the font — the recognizer corrects
+# any per-glyph noise strictly below half of this
+_d = (_TEMPLATES[:, None, :] != _TEMPLATES[None, :, :]).sum(axis=2)
+FONT_MIN_DISTANCE = int((_d + np.eye(len(CHARSET), dtype=int) * 99).min())
+
+
+def render_text(text: str, cols: int = 80) -> np.ndarray:
+    """Text -> grayscale pixel grid (0 background, 255 ink)."""
+    lines: list[str] = []
+    for src in text.split("\n"):
+        if not src:
+            lines.append("")
+        while src:
+            lines.append(src[:cols])
+            src = src[cols:]
+    if not lines:
+        lines = [""]
+    width = cols * CELL_W
+    out = np.zeros((len(lines) * CELL_H, width), dtype=np.uint8)
+    for r, line in enumerate(lines):
+        for c, ch in enumerate(line):
+            g = FONT.get(ch)
+            if g is None:
+                raise ValueError(f"char {ch!r} outside the font charset")
+            y, x = r * CELL_H, c * CELL_W
+            out[y : y + GLYPH_H, x : x + GLYPH_W][g] = 255
+    return out
+
+
+def ocr_text(pixels: np.ndarray) -> str:
+    """Recognize a render_text grid: per-cell nearest-template match."""
+    h, w = pixels.shape
+    n_rows, n_cols = h // CELL_H, w // CELL_W
+    lines = []
+    for r in range(n_rows):
+        chars = []
+        for c in range(n_cols):
+            y, x = r * CELL_H, c * CELL_W
+            cell = (pixels[y : y + GLYPH_H, x : x + GLYPH_W] > 127).astype(np.uint8)
+            dists = (_TEMPLATES != cell.reshape(-1)).sum(axis=1)
+            chars.append(CHARSET[int(np.argmin(dists))])
+        lines.append("".join(chars).rstrip())
+    return "\n".join(lines).rstrip("\n")
+
+
+def render_glyph_png(text: str, cols: int = 80) -> bytes:
+    """Text -> real PNG (glyph raster through the scanline codec)."""
+    return encode_png_gray(render_text(text, cols=cols))
+
+
+def ocr_glyph_png(payload: bytes) -> str:
+    """PNG -> recognized text (decode raster, then template-match)."""
+    return ocr_text(decode_png_gray(payload))

@@ -224,6 +224,69 @@ FROM documents GROUP BY source
 
 
 # ---------------------------------------------------------------------------
+# glyph OCR round-trip (E2 optical path): each document's text snippet is
+# RENDERED as a 5x7-bitmap-font raster, noised (1-3 flipped pixels per
+# glyph, deterministic from doc_id), compressed through the real PNG
+# scanline codec, decoded, and RECOGNIZED by nearest-template Hamming
+# match (extraction_core/png_glyphs.py — font min distance 8, so <= 3
+# flips always correct). The oracle predicts exact recovery for every
+# row: genuine noisy-scan recognition, checkable end-to-end.
+# ---------------------------------------------------------------------------
+
+OCR_SNIPPET_CHARS = 64
+
+
+def _glyph_ocr_batch(it):
+    import numpy as np
+    import pandas as pd
+
+    from ..extraction_core.png_glyphs import (
+        GLYPH_H,
+        GLYPH_W,
+        CELL_W,
+        encode_png_gray,
+        ocr_glyph_png,
+        render_text,
+    )
+
+    for batch in it:
+        out = {"doc_id": [], "n_chars_rendered": [], "noise_flips_per_glyph": [],
+               "ocr_exact": []}
+        for did, text in zip(batch["doc_id"], batch["text"]):
+            snippet = str(text)[:OCR_SNIPPET_CHARS].rstrip()
+            arr = render_text(snippet, cols=OCR_SNIPPET_CHARS).copy()
+            k = 1 + int(did) % 3
+            rng = np.random.RandomState(int(did) % (2**31))
+            for c in range(len(snippet)):
+                for _ in range(k):
+                    y, x = rng.randint(0, GLYPH_H), rng.randint(0, GLYPH_W)
+                    arr[y, c * CELL_W + x] = 255 - arr[y, c * CELL_W + x]
+            got = ocr_glyph_png(encode_png_gray(arr))
+            out["doc_id"].append(int(did))
+            out["n_chars_rendered"].append(len(snippet))
+            out["noise_flips_per_glyph"].append(k)
+            out["ocr_exact"].append(got == snippet)
+        yield pd.DataFrame(out)
+
+
+def q_ocr_glyph_roundtrip(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "text").repartition(16)
+    return docs.mapInPandas(
+        _glyph_ocr_batch,
+        "doc_id long, n_chars_rendered long, noise_flips_per_glyph long, ocr_exact boolean",
+    )
+
+
+SQL_OCR_GLYPH = f"""
+SELECT doc_id,
+       CAST(length(rtrim(substr(text, 1, {OCR_SNIPPET_CHARS}))) AS BIGINT) AS n_chars_rendered,
+       CAST(1 + doc_id % 3 AS BIGINT) AS noise_flips_per_glyph,
+       TRUE AS ocr_exact
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # URL canonicalization: the normalize-before-dedup step every crawler
 # pipeline runs (fragments dropped, default ports stripped, scheme/host
 # lowercased, tracking params removed, trailing slash normalized).
@@ -397,6 +460,7 @@ QUERIES = {
     "web_host_rollup": q_web_host_rollup,
     "extract_error_taxonomy": q_extract_error_taxonomy,
     "web_url_canonicalize": q_url_canonicalize,
+    "ocr_glyph_roundtrip": q_ocr_glyph_roundtrip,
 }
 
 _SQL_PRED = "regexp_replace(text, 'batch', 'match', 'g')"
@@ -463,4 +527,5 @@ ORACLES = {
     "web_host_rollup": SQL_WEB_HOST_ROLLUP,
     "extract_error_taxonomy": SQL_ERROR_TAXONOMY,
     "web_url_canonicalize": SQL_URL_CANONICALIZE,
+    "ocr_glyph_roundtrip": SQL_OCR_GLYPH,
 }

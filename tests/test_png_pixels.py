@@ -100,3 +100,46 @@ def test_resize_image_real_pixels():
     assert (small == resize_gray(pixels, 4, 4)).all()
     # nearest-neighbor at 2:1 keeps every other pixel exactly
     assert (small == pixels[::2, ::2]).all()
+
+
+def test_glyph_ocr_corrects_noise_up_to_half_font_distance():
+    """Template-match OCR: the font's min pairwise Hamming distance is
+    asserted, and decoding survives per-glyph noise strictly below half
+    of it — recognition, not deserialization."""
+    from ocr_endpoint_project_spark.extraction_core.png_glyphs import (
+        CELL_W,
+        FONT_MIN_DISTANCE,
+        GLYPH_H,
+        GLYPH_W,
+        ocr_glyph_png,
+        ocr_text,
+        render_glyph_png,
+        render_text,
+    )
+
+    assert FONT_MIN_DISTANCE >= 7  # corrects >= 3 flipped pixels
+    text = "The quick brown fox; 0123456789 (jumps) over!"
+    assert ocr_glyph_png(render_glyph_png(text)) == text  # clean roundtrip
+
+    budget = (FONT_MIN_DISTANCE - 1) // 2
+    arr = render_text(text).copy()
+    rng = np.random.RandomState(42)
+    for c in range(len(text)):
+        flips = set()
+        while len(flips) < budget:  # distinct pixels: k flips = Hamming k
+            flips.add((rng.randint(0, GLYPH_H), rng.randint(0, GLYPH_W)))
+        for y, x in flips:
+            arr[y, c * CELL_W + x] = 255 - arr[y, c * CELL_W + x]
+    assert ocr_text(arr) == text
+
+
+def test_glyph_ocr_multiline_and_wrap():
+    from ocr_endpoint_project_spark.extraction_core.png_glyphs import (
+        ocr_text,
+        render_text,
+    )
+
+    text = "first line\nsecond somewhat longer line that wraps"
+    assert ocr_text(render_text(text, cols=20)) == (
+        "first line\nsecond somewhat long\ner line that wraps"
+    )
