@@ -58,7 +58,7 @@ CORPUS_RICHNESS = 8  # ~10 KB avg payload, realistic page weight
 CACHE_DIR = os.path.join(REPO, "BENCH", "cache")
 
 
-def time_extraction(spark, replicas: int, partitions: int) -> tuple[float, int]:
+def time_extraction(spark, replicas: int, partitions: int) -> tuple[float, int, int]:
     pages = cached_corpus_pages(
         spark, CACHE_DIR, n=CORPUS_BASE, seed=42, replicas=replicas,
         richness=CORPUS_RICHNESS,
@@ -66,10 +66,10 @@ def time_extraction(spark, replicas: int, partitions: int) -> tuple[float, int]:
     t0 = time.perf_counter()
     extracted = run_extraction(pages, num_partitions=partitions)
     row = extracted.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars")
+        F.count(F.lit(1)).alias("n"), F.sum("doc_bytes").alias("payload_bytes")
     ).collect()[0]
     dt = time.perf_counter() - t0
-    return dt, int(row["n"])
+    return dt, int(row["n"]), int(row["payload_bytes"] or 0)
 
 
 def _session(name: str, cores: int, aqe: bool = True):
@@ -306,7 +306,7 @@ def main() -> None:
 
     # flagship extraction throughput (warm-up, then measured run)
     time_extraction(spark, replicas=1, partitions=cpus)
-    dt, n_docs = time_extraction(spark, replicas=replicas, partitions=cpus * 2)
+    dt, n_docs, payload_bytes = time_extraction(spark, replicas=replicas, partitions=cpus * 2)
     timings["extract_throughput"] = round(dt, 3)
     docs_per_sec = n_docs / dt
 
@@ -331,6 +331,11 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "n_docs": n_docs,
+                # corpus weight rides the JSON: round 4 made scan docs
+                # genuinely raster-borne (~25 KB vs 5 KB), so docs/s is
+                # only comparable across rounds alongside MB/s
+                "payload_mb": round(payload_bytes / 1e6, 1),
+                "payload_mb_per_sec": round(payload_bytes / 1e6 / dt, 1),
                 "total_sec": round(total, 3),
                 # results of the capped dedup queries depend on this value
                 # (operators/dedup.py SHINGLE_DF_CAP) — recorded so runs

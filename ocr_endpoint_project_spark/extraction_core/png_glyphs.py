@@ -50,6 +50,20 @@ _d = (_TEMPLATES[:, None, :] != _TEMPLATES[None, :, :]).sum(axis=2)
 FONT_MIN_DISTANCE = int((_d + np.eye(len(CHARSET), dtype=int) * 99).min())
 
 
+def _pack_rows(bits: np.ndarray) -> np.ndarray:
+    """(N, 35) bool/uint8 -> (N,) uint64 keys (packbits + zero pad)."""
+    packed = np.packbits(bits.astype(np.uint8), axis=1)  # (N, 5)
+    out = np.zeros((packed.shape[0], 8), dtype=np.uint8)
+    out[:, :5] = packed
+    return out.view(np.uint64).reshape(-1)
+
+
+_PACKED = _pack_rows(_TEMPLATES)
+_SORT = np.argsort(_PACKED)
+_KEYS_SORTED = _PACKED[_SORT]
+_CHARS_SORTED = np.array(list(CHARSET))[_SORT]
+
+
 def render_text(text: str, cols: int = 80) -> np.ndarray:
     """Text -> grayscale pixel grid (0 background, 255 ink)."""
     lines: list[str] = []
@@ -74,18 +88,32 @@ def render_text(text: str, cols: int = 80) -> np.ndarray:
 
 
 def ocr_text(pixels: np.ndarray) -> str:
-    """Recognize a render_text grid: per-cell nearest-template match."""
+    """Recognize a render_text grid: per-cell template match.
+
+    Vectorized two-phase match: every cell's 35 glyph bits pack into a
+    uint64 key looked up against the sorted template keys (the clean-
+    raster fast path — one searchsorted for the whole page); cells with
+    no exact key fall back to nearest-template Hamming distance (the
+    noise-correction path, exercised by the noisy-roundtrip tests)."""
     h, w = pixels.shape
     n_rows, n_cols = h // CELL_H, w // CELL_W
-    lines = []
-    for r in range(n_rows):
-        chars = []
-        for c in range(n_cols):
-            y, x = r * CELL_H, c * CELL_W
-            cell = (pixels[y : y + GLYPH_H, x : x + GLYPH_W] > 127).astype(np.uint8)
-            dists = (_TEMPLATES != cell.reshape(-1)).sum(axis=1)
-            chars.append(CHARSET[int(np.argmin(dists))])
-        lines.append("".join(chars).rstrip())
+    if n_rows == 0 or n_cols == 0:
+        return ""
+    grid = pixels[: n_rows * CELL_H, : n_cols * CELL_W].reshape(
+        n_rows, CELL_H, n_cols, CELL_W
+    )
+    cells = (grid.transpose(0, 2, 1, 3)[:, :, :GLYPH_H, :GLYPH_W] > 127).reshape(
+        -1, GLYPH_H * GLYPH_W
+    )
+    keys = _pack_rows(cells)
+    idx = np.clip(np.searchsorted(_KEYS_SORTED, keys), 0, len(_KEYS_SORTED) - 1)
+    chars = _CHARS_SORTED[idx].copy()
+    miss = np.nonzero(_KEYS_SORTED[idx] != keys)[0]
+    for i in miss:  # noisy cells only
+        dists = (_TEMPLATES != cells[i]).sum(axis=1)
+        chars[i] = CHARSET[int(np.argmin(dists))]
+    flat = "".join(chars.tolist())  # ONE join; row split is cheap slicing
+    lines = [flat[r * n_cols : (r + 1) * n_cols].rstrip() for r in range(n_rows)]
     return "\n".join(lines).rstrip("\n")
 
 

@@ -111,37 +111,73 @@ def unfilter_row(raw: np.ndarray, prev: np.ndarray, ftype: int) -> np.ndarray:
 # whole-image encode / decode
 # ---------------------------------------------------------------------------
 
-def encode_png_gray(pixels: np.ndarray) -> bytes:
-    """(h, w) uint8 array -> 8-bit grayscale PNG, filter cycle 0/1/2."""
+def encode_png_gray(pixels: np.ndarray, filters: tuple[int, ...] | None = None) -> bytes:
+    """(h, w) uint8 array -> 8-bit grayscale PNG.
+
+    ``filters``: per-row filter cycle (default None/Sub/Up). Pass
+    ``(0,)`` for tall sparse rasters (e.g. glyph pages, thousands of
+    skinny rows): an all-None stream decodes as ONE vectorized slice
+    instead of a per-row loop — a legitimate per-row filter choice any
+    PNG encoder is free to make."""
     h, w = pixels.shape
+    cycle = filters or _ENCODE_FILTER_CYCLE
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
-    raw = bytearray()
-    prev = np.zeros(w, dtype=np.uint8)
-    for r in range(h):
-        ftype = _ENCODE_FILTER_CYCLE[r % len(_ENCODE_FILTER_CYCLE)]
-        raw.append(ftype)
-        raw += filter_row(pixels[r], prev, ftype).tobytes()
-        prev = pixels[r]
+    if tuple(cycle) == (0,):
+        # filter byte 0 on every row: prepend a zero column, one pass
+        raw_arr = np.zeros((h, w + 1), dtype=np.uint8)
+        raw_arr[:, 1:] = pixels
+        raw = raw_arr.tobytes()
+    else:
+        buf = bytearray()
+        prev = np.zeros(w, dtype=np.uint8)
+        for r in range(h):
+            ftype = cycle[r % len(cycle)]
+            buf.append(ftype)
+            buf += filter_row(pixels[r], prev, ftype).tobytes()
+            prev = pixels[r]
+        raw = bytes(buf)
     return (
         PNG_MAGIC
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def encode_png_bilevel(bits: np.ndarray) -> bytes:
+    """(h, w) 0/1 array -> 1-bit grayscale PNG (8 pixels/byte, filter 0).
+
+    The right depth for glyph rasters: an 8-bit page of ink/paper wastes
+    7 bits per pixel — packing drops raw scanline bytes 8x, which is the
+    difference between 40 KB and 5 KB scan payloads at Common-Crawl page
+    weights. Filters operate on the PACKED bytes per the PNG spec."""
+    h, w = bits.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 1, 0, 0, 0, 0)
+    packed = np.packbits(bits.astype(np.uint8), axis=1)  # (h, ceil(w/8))
+    raw_arr = np.zeros((h, packed.shape[1] + 1), dtype=np.uint8)
+    raw_arr[:, 1:] = packed
+    return (
+        PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw_arr.tobytes()))
         + _chunk(b"IEND", b"")
     )
 
 
 def decode_png_gray(payload: bytes) -> np.ndarray:
-    """Any 8-bit grayscale non-interlaced PNG -> (h, w) uint8 array.
+    """Any 1- or 8-bit grayscale non-interlaced PNG -> (h, w) uint8 array
+    (1-bit pixels expand to 0/255).
 
     Walks chunks, validates IHDR, inflates the concatenated IDAT stream,
-    and unfilters every row (all five filter types). Raises ValueError on
-    non-PNG input, other color types / bit depths, interlace, or a
-    scanline stream whose size disagrees with IHDR.
+    and unfilters every row (all five filter types; filters run over the
+    packed scanline bytes, per spec). Raises ValueError on non-PNG input,
+    other color types / bit depths, interlace, or a scanline stream whose
+    size disagrees with IHDR.
     """
     if not payload.startswith(PNG_MAGIC):
         raise ValueError("not a PNG payload")
     i, n = len(PNG_MAGIC), len(payload)
-    w = h = None
+    w = h = depth = None
     idat = bytearray()
     while i + 8 <= n:
         (length,) = struct.unpack(">I", payload[i : i + 4])
@@ -149,7 +185,7 @@ def decode_png_gray(payload: bytes) -> np.ndarray:
         body = payload[i + 8 : i + 8 + length]
         if ctype == b"IHDR":
             w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", body)
-            if depth != 8 or color != 0:
+            if depth not in (1, 8) or color != 0:
                 raise ValueError(f"unsupported PNG (depth={depth}, color={color})")
             if interlace:
                 raise ValueError("interlaced PNG unsupported")
@@ -161,14 +197,20 @@ def decode_png_gray(payload: bytes) -> np.ndarray:
     if w is None or not idat:
         raise ValueError("PNG without IHDR or IDAT")
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (w + 1):
-        raise ValueError(f"scanline stream {len(raw)} != {h}x({w}+1)")
-    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w + 1)
-    out = np.empty((h, w), dtype=np.uint8)
-    prev = np.zeros(w, dtype=np.uint8)
-    for r in range(h):
-        prev = unfilter_row(arr[r, 1:], prev, int(arr[r, 0]))
-        out[r] = prev
+    stride = w if depth == 8 else -(-w // 8)
+    if len(raw) != h * (stride + 1):
+        raise ValueError(f"scanline stream {len(raw)} != {h}x({stride}+1)")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    if not arr[:, 0].any():  # all rows filter 0: one vectorized slice
+        out = arr[:, 1:].copy()
+    else:
+        out = np.empty((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for r in range(h):
+            prev = unfilter_row(arr[r, 1:], prev, int(arr[r, 0]))
+            out[r] = prev
+    if depth == 1:
+        return np.unpackbits(out, axis=1)[:, :w] * np.uint8(255)
     return out
 
 

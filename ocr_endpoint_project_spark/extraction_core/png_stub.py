@@ -45,6 +45,86 @@ def make_png_scan(page_texts: list[str], width: int = 612, height: int = 792) ->
     return encode_png_gray(pixels_from_pages(page_texts, width=width))
 
 
+def make_png_glyph_scan(page_texts: list[str]) -> bytes:
+    """Build a scan PNG whose pages are GLYPH RASTERS (png_glyphs font):
+    extraction must actually RECOGNIZE the text (template-match OCR),
+    not read it back from a byte channel. ASCII-only (the font's
+    charset); each page = one 0xFE marker row carrying its pixel-row
+    count, then the rendered glyph grid. All pages share one width (the
+    longest line across pages), so no line ever wraps and the OCR
+    round-trip is byte-exact."""
+    import numpy as np
+
+    from .png_glyphs import render_text
+    from .png_pixels import encode_png_bilevel
+
+    # marker rows need 4 sync bits + 32 length bits + all-ink tail
+    cols = max(
+        [7] + [len(line) for t in page_texts for line in t.split("\n")]
+    )
+    rows: list = []
+    for t in page_texts:
+        g = (render_text(t, cols=cols) > 127).astype(np.uint8)
+        marker = np.ones(g.shape[1], dtype=np.uint8)
+        marker[1] = marker[3] = 0  # sync pattern 1,0,1,0
+        nbits = np.unpackbits(np.frombuffer(struct.pack(">I", g.shape[0]), dtype=np.uint8))
+        marker[4:36] = nbits
+        rows.append(marker[None, :])
+        rows.append(g)
+    if not rows:
+        rows.append(np.zeros((1, 6 * cols), dtype=np.uint8))
+    # 1-bit grayscale: ink/paper needs one bit per pixel — 8x smaller
+    # scan payloads, and the codec's depth-1 path is exercised for real
+    return encode_png_bilevel(np.vstack(rows))
+
+
+def _raster_pages(pixels) -> list[str]:
+    """Walk a decoded scan raster: 0xFF markers head framed-byte pages
+    (``png_pixels.pages_from_pixels`` layout), 0xFE markers head glyph
+    pages recognized by template-match OCR. Marker rows can never occur
+    inside page bodies: byte-page data rows are consumed by their
+    marker's row count, and glyph rows always contain zero spacing
+    columns (so they are never all-0xFF / all-0xFE)."""
+    from .png_glyphs import ocr_text
+
+    import numpy as np
+
+    pages: list[str] = []
+    h, width = pixels.shape
+    # vectorized marker detection: one pass over the whole raster
+    # instead of per-row numpy comparisons per scanline.
+    # byte-framed marker: 0xFF everywhere but the 4 length bytes.
+    is_byte_marker = (pixels[:, 0] == 0xFF) & (pixels[:, 5:] == 0xFF).all(axis=1)
+    # glyph marker (bilevel raster, values 0/255): sync 1,0,1,0 then 32
+    # length bits then all-ink tail — glyph body rows always contain
+    # zero spacing columns, so they can never match the all-ink tail.
+    is_glyph_marker = (
+        (pixels[:, 0] == 255)
+        & (pixels[:, 1] == 0)
+        & (pixels[:, 2] == 255)
+        & (pixels[:, 3] == 0)
+        & (pixels[:, 36:] == 255).all(axis=1)
+        if width >= 37
+        else np.zeros(h, dtype=bool)
+    )
+    r = 0
+    while r < h:
+        if is_byte_marker[r]:
+            (length,) = struct.unpack(">I", pixels[r, 1:5].tobytes())
+            n_rows = max(1, -(-length // width))
+            body = pixels[r + 1 : r + 1 + n_rows].tobytes()[:length]
+            pages.append(body.decode("utf-8", "replace"))
+            r += 1 + n_rows
+        elif is_glyph_marker[r]:
+            bits = (pixels[r, 4:36] > 127).astype(np.uint8)
+            (n_rows,) = struct.unpack(">I", np.packbits(bits).tobytes())
+            pages.append(ocr_text(pixels[r + 1 : r + 1 + n_rows]))
+            r += 1 + n_rows
+        else:
+            r += 1
+    return pages
+
+
 def extract_png_text(payload: bytes) -> tuple[str, list[tuple[int, int, str]], int]:
     """Extract ``(text, spans, n_pages)`` from a synthetic scan PNG.
 
@@ -55,14 +135,16 @@ def extract_png_text(payload: bytes) -> tuple[str, list[tuple[int, int, str]], i
     if not payload.startswith(PNG_MAGIC):
         raise ValueError("not a PNG payload")
     pages: list[str] = []
-    # primary path: decode the raster and read the framed pages out of
-    # the pixels (round 4 — the real IDAT/filter machinery)
+    # primary path: decode the raster and read the pages out of the
+    # pixels (round 4 — real IDAT/filter machinery; glyph pages go
+    # through template-match OCR, byte-framed pages through the
+    # deterministic channel)
     try:
-        from .png_pixels import decode_png_gray, pages_from_pixels
+        from .png_pixels import decode_png_gray
 
-        pages = pages_from_pixels(decode_png_gray(payload))
+        pages = _raster_pages(decode_png_gray(payload))
     except ValueError:
-        pages = []  # not a raster-framed scan: fall through to metadata
+        pages = []  # not a raster scan: fall through to metadata
     if pages:
         return _pages_to_result(pages)
     i = len(PNG_MAGIC)

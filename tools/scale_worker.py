@@ -40,7 +40,7 @@ def main() -> None:
     # hot paths, then one FULL-SIZE unrecorded run touches the entire
     # replica fan-out and page cache at the measured shape
     time_extraction(spark, replicas=1, partitions=cores)
-    warm_sec, warm_n = time_extraction(spark, replicas=replicas, partitions=SCALING_PARTITIONS)
+    warm_sec, warm_n, _ = time_extraction(spark, replicas=replicas, partitions=SCALING_PARTITIONS)
     print(json.dumps({"ready": True, "cores": cores, "warm_sec": round(warm_sec, 3)}),
           flush=True)
 
@@ -54,7 +54,7 @@ def main() -> None:
             # underneath) — per-thread task overhead then shrinks with
             # cores instead of acting as a serial constant, and both
             # legs see the identical skew profile
-            sec, n = time_extraction(spark, replicas=replicas, partitions=SCALING_PARTITIONS)
+            sec, n, _ = time_extraction(spark, replicas=replicas, partitions=SCALING_PARTITIONS)
             print(json.dumps({"sec": sec, "n": n}), flush=True)
         elif cmd == "quit":
             break
