@@ -2,13 +2,19 @@
 self-contained optical recognizer (this environment ships no OCR model,
 so the engine brings its own for a font it also ships).
 
-The font: one 5x7 glyph per printable ASCII char (space = blank; other
-glyphs derive deterministically from md5(char), giving a min pairwise
-Hamming distance measured at import and asserted > 2*NOISE_BUDGET in
-tests). Rendering blits glyphs into 6x8 cells; recognition segments the
-cell grid, binarizes, and matches each cell against ALL 95 templates by
-Hamming distance — classical template-match OCR, tolerant to per-glyph
-pixel noise up to half the font's min distance. Unlike the framed-byte
+The font: one 5x7 glyph per char of CHARSET — printable ASCII plus the
+Latin-1 supplement (accented European text) plus the Arabic letter block
+and Arabic-Indic digits, covering the reference corpus' language matrix
+(``ground_truth_database/DATABASE.md:74-80``: 25% RTL/Arabic). Space is
+blank; every other glyph derives deterministically from md5(char), giving
+a min pairwise Hamming distance measured at import (7 for the full
+242-char set) and asserted > 2*NOISE_BUDGET in tests. Rendering blits
+glyphs into 6x8 cells; recognition segments the cell grid, binarizes, and
+matches each cell against ALL templates by Hamming distance — classical
+template-match OCR, tolerant to per-glyph pixel noise up to half the
+font's min distance. RTL text renders in LOGICAL codepoint order (cell k
+= codepoint k), the same convention the PDF span path uses, so OCR output
+is byte-identical to the source text without a bidi pass. Unlike the framed-byte
 scan channel (png_pixels), nothing here inverts an encoding: a noisy
 glyph still decodes to its NEAREST template, which is what makes this
 recognition rather than deserialization.
@@ -27,14 +33,23 @@ from .png_pixels import decode_png_gray, encode_png_gray
 
 GLYPH_W, GLYPH_H = 5, 7
 CELL_W, CELL_H = GLYPH_W + 1, GLYPH_H + 1  # 1px inter-glyph spacing
-CHARSET = "".join(chr(c) for c in range(32, 127))
+# ASCII + Latin-1 supplement + Arabic letters + Arabic-Indic digits.
+# Measured min pairwise Hamming over all 242 glyphs: 7 (> 2*3 noise
+# budget) — asserted in tests/test_png_pixels.py; grow the glyph cell
+# before extending the charset further if that margin ever tightens.
+CHARSET = (
+    "".join(chr(c) for c in range(32, 127))
+    + "".join(chr(c) for c in range(0xA1, 0x100))
+    + "".join(chr(c) for c in range(0x0621, 0x064B))
+    + "".join(chr(c) for c in range(0x0660, 0x066A))
+)
 
 
 def _glyph_bits(ch: str) -> np.ndarray:
     """(GLYPH_H, GLYPH_W) bool bitmap for one char."""
     if ch == " ":
         return np.zeros((GLYPH_H, GLYPH_W), dtype=bool)
-    digest = hashlib.md5(ch.encode("ascii")).digest()
+    digest = hashlib.md5(ch.encode("utf-8")).digest()
     bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8))[: GLYPH_H * GLYPH_W]
     g = bits.reshape(GLYPH_H, GLYPH_W).astype(bool)
     if not g.any():  # astronomically unlikely, but a blank non-space glyph

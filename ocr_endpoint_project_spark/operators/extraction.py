@@ -228,17 +228,26 @@ FROM documents GROUP BY source
 # RENDERED as a 5x7-bitmap-font raster, noised (1-3 flipped pixels per
 # glyph, deterministic from doc_id), compressed through the real PNG
 # scanline codec, decoded, and RECOGNIZED by nearest-template Hamming
-# match (extraction_core/png_glyphs.py — font min distance 8, so <= 3
-# flips always correct). The oracle predicts exact recovery for every
-# row: genuine noisy-scan recognition, checkable end-to-end.
+# match (extraction_core/png_glyphs.py — font min distance 7 over the
+# 242-char ASCII+Latin-1+Arabic set, so <= 3 flips always correct). The
+# oracle predicts exact recovery for every row: genuine noisy-scan
+# recognition, checkable end-to-end. Chars outside the font charset are
+# substituted with '?' BEFORE rendering (1:1, so lengths match the SQL
+# twin) — a future corpus change degrades a row, never kills the query.
 # ---------------------------------------------------------------------------
 
 OCR_SNIPPET_CHARS = 64
+# complement of png_glyphs.CHARSET (+ newline, which render_text handles)
+_GLYPH_SANITIZE_RE = r"[^\x20-\x7e\n\xa1-\xffء-ي٠-٩]"
 
 
 def _glyph_ocr_batch(it):
+    import re
+
     import numpy as np
     import pandas as pd
+
+    sanitize = re.compile(_GLYPH_SANITIZE_RE)
 
     from ..extraction_core.png_glyphs import (
         GLYPH_H,
@@ -253,7 +262,7 @@ def _glyph_ocr_batch(it):
         out = {"doc_id": [], "n_chars_rendered": [], "noise_flips_per_glyph": [],
                "ocr_exact": []}
         for did, text in zip(batch["doc_id"], batch["text"]):
-            snippet = str(text)[:OCR_SNIPPET_CHARS].rstrip()
+            snippet = sanitize.sub("?", str(text)[:OCR_SNIPPET_CHARS]).rstrip()
             arr = render_text(snippet, cols=OCR_SNIPPET_CHARS).copy()
             k = 1 + int(did) % 3
             rng = np.random.RandomState(int(did) % (2**31))
@@ -299,15 +308,23 @@ FROM documents
 
 
 def canonicalize_url(col):
-    """Catalyst expression: canonical form of a URL column."""
+    """Catalyst expression: canonical form of a URL column.
+
+    Tracking-param removal is separator-correct (round-5 fix): a
+    non-leading ``&utm_x=v`` drops with its '&'; a leading ``?utm_x=v&``
+    promotes the next param to '?'; a sole ``?utm_x=v`` drops with the
+    '?' — so ``a?utm_source=x&page=2`` canonicalizes to ``a?page=2``,
+    never the malformed ``a&page=2``."""
     u = F.col(col) if isinstance(col, str) else col
     u = F.regexp_replace(u, r"#.*$", "")                      # fragment
-    u = F.regexp_replace(u, r"[?&](utm_[a-z]+|ref)=[^&#]*", "")  # tracking params
-    u = F.regexp_replace(u, r"\?$", "")                       # dangling '?'
-    u = F.regexp_replace(u, r"^(https?)://([^/]*):(443|80)(/|$)", r"$1://$2$4")
-    # lowercase scheme+host only (path stays case-sensitive)
-    head = F.lower(F.regexp_extract(u, r"^(https?://[^/]*)", 1))
-    tail = F.regexp_replace(u, r"^https?://[^/]*", "")
+    u = F.regexp_replace(u, r"&(utm_[a-z]+|ref)=[^&#]*", "")  # non-leading tracking
+    u = F.regexp_replace(u, r"\?(utm_[a-z]+|ref)=[^&#]*&", "?")  # leading, has follower
+    u = F.regexp_replace(u, r"\?(utm_[a-z]+|ref)=[^&#]*$", "")   # sole tracking param
+    u = F.regexp_replace(u, r"(?i)^(https?)://([^/]*):(443|80)(/|$)", r"$1://$2$4")
+    # lowercase scheme+host only (path stays case-sensitive); (?i) so an
+    # uppercase scheme is still recognized as a URL head (round-5 fix)
+    head = F.lower(F.regexp_extract(u, r"(?i)^(https?://[^/]*)", 1))
+    tail = F.regexp_replace(u, r"(?i)^https?://[^/]*", "")
     u = F.concat(head, tail)
     # trailing slash (capture form: RE2 in DuckDB has no lookbehind)
     return F.regexp_replace(u, r"([^/])/$", r"$1")
@@ -320,7 +337,7 @@ def q_url_canonicalize(spark, sf_dir):
                                   F.lit(".Example/doc/"), F.col("doc_id"), F.lit("#frag")))
         .when(mod == 1, F.concat(F.lit("https://"), F.col("source"),
                                  F.lit(".example:443/doc/"), F.col("doc_id"),
-                                 F.lit("?utm_source=feed")))
+                                 F.lit("?utm_source=feed&page=2")))
         .when(mod == 2, F.concat(F.lit("https://"), F.col("source"),
                                  F.lit(".example/doc/"), F.col("doc_id"), F.lit("/")))
         .otherwise(F.concat(F.lit("https://"), F.col("source"),
@@ -340,7 +357,7 @@ WITH messy AS (
   SELECT doc_id,
          CASE doc_id % 4
            WHEN 0 THEN 'HTTPS://' || upper(source) || '.Example/doc/' || doc_id || '#frag'
-           WHEN 1 THEN 'https://' || source || '.example:443/doc/' || doc_id || '?utm_source=feed'
+           WHEN 1 THEN 'https://' || source || '.example:443/doc/' || doc_id || '?utm_source=feed&page=2'
            WHEN 2 THEN 'https://' || source || '.example/doc/' || doc_id || '/'
            ELSE 'https://' || source || '.example/doc/' || doc_id
          END AS url
@@ -348,18 +365,20 @@ WITH messy AS (
 ), canon AS (
   SELECT doc_id, url,
     regexp_replace(
-      lower(regexp_extract(u4, '^(https?://[^/]*)', 1))
-        || regexp_replace(u4, '^https?://[^/]*', ''),
+      lower(regexp_extract(u4, '(?i)^(https?://[^/]*)', 1))
+        || regexp_replace(u4, '(?i)^https?://[^/]*', ''),
       '([^/])/$', '\1') AS canonical_url
   FROM (
     SELECT doc_id, url,
       regexp_replace(
         regexp_replace(
           regexp_replace(
-            regexp_replace(url, '#.*$', ''),
-            '[?&](utm_[a-z]+|ref)=[^&#]*', ''),
-          '\?$', ''),
-        '^(https?)://([^/]*):(443|80)(/|$)', '\1://\2\4') AS u4
+            regexp_replace(
+              regexp_replace(url, '#.*$', ''),
+              '&(utm_[a-z]+|ref)=[^&#]*', '', 'g'),
+            '\?(utm_[a-z]+|ref)=[^&#]*&', '?'),
+          '\?(utm_[a-z]+|ref)=[^&#]*$', ''),
+        '(?i)^(https?)://([^/]*):(443|80)(/|$)', '\1://\2\4') AS u4
     FROM messy
   )
 )

@@ -20,7 +20,7 @@ from dataclasses import dataclass
 from datetime import datetime, timedelta, timezone
 
 from ..extraction_core.pdf_write import layout_paragraphs, make_pdf
-from ..extraction_core.png_stub import make_png_glyph_scan, make_png_scan
+from ..extraction_core.png_stub import make_png_glyph_scan
 
 EN_WORDS = (
     "data system pipeline content page extract crawl table spark batch "
@@ -208,16 +208,15 @@ def render_pdf(blocks: list[tuple[str, str]], columns: int, rtl: bool) -> tuple[
 
 
 def render_png(blocks: list[tuple[str, str]]) -> tuple[bytes, str]:
-    """Scan pages: ASCII texts render as GLYPH RASTERS (extraction runs
-    real template-match OCR over them, extraction_core/png_glyphs.py);
-    texts outside the font's charset use the framed-byte channel (the
-    documented deterministic stand-in — no font exists for them here)."""
+    """Scan pages ALWAYS render as GLYPH RASTERS — extraction runs real
+    template-match OCR over them (extraction_core/png_glyphs.py). Since
+    round 5 the font covers ASCII + Latin-1 + Arabic, so every corpus
+    language (en/fr/ar) goes through recognition; the framed-byte channel
+    (make_png_scan) survives only as a decoder for legacy payloads."""
     paragraphs = blocks_to_pdf_paragraphs(blocks)
     page_texts = ["\n".join(lines) for lines in paragraphs]
     golden = "\n\n".join(page_texts).strip()
-    if all(32 <= ord(c) < 127 or c == "\n" for t in page_texts for c in t):
-        return make_png_glyph_scan(page_texts), golden
-    return make_png_scan(page_texts), golden
+    return make_png_glyph_scan(page_texts), golden
 
 
 # ---------------------------------------------------------------------------

@@ -207,3 +207,24 @@ def test_job_progress_denominator_from_lineage(spark, pages, tmp_path):
     p = job_progress(spark, out + "/lineage", num_partitions=999)
     assert p["partitions_total"] == 8
     assert p["stage"] == "completed" and p["percent"] == 100.0
+
+
+def test_canonicalize_url_separator_correct(spark):
+    """Round-5 fix: stripping a leading tracking param promotes the next
+    param's separator ('a?utm=x&page=2' -> 'a?page=2'), a sole tracking
+    param drops with its '?', and multiple tracking params all vanish."""
+    from ocr_endpoint_project_spark.operators.extraction import canonicalize_url
+
+    cases = {
+        "https://h.example/a?utm_source=x&page=2": "https://h.example/a?page=2",
+        "https://h.example/a?page=2&utm_source=x": "https://h.example/a?page=2",
+        "https://h.example/a?utm_source=x": "https://h.example/a",
+        "https://h.example/a?utm_a=1&utm_b=2&page=2": "https://h.example/a?page=2",
+        "https://h.example/a?utm_a=1&ref=r": "https://h.example/a",
+        "HTTPS://H.example:443/Path/?x=1#frag": "https://h.example/Path/?x=1",
+    }
+    rows = spark.createDataFrame([(u,) for u in cases], ["url"]).select(
+        "url", canonicalize_url("url").alias("canon")
+    ).collect()
+    for r in rows:
+        assert r.canon == cases[r.url], (r.url, r.canon)

@@ -143,3 +143,56 @@ def test_glyph_ocr_multiline_and_wrap():
     assert ocr_text(render_text(text, cols=20)) == (
         "first line\nsecond somewhat long\ner line that wraps"
     )
+
+
+def test_glyph_ocr_arabic_and_latin1_roundtrip():
+    """Round 5: the md5-derived font covers Latin-1 + Arabic, so ALL
+    corpus languages (en/fr/ar) go through real template-match OCR —
+    clean roundtrip AND noise correction for non-ASCII glyphs."""
+    from ocr_endpoint_project_spark.extraction_core.png_glyphs import (
+        CELL_W,
+        CHARSET,
+        FONT_MIN_DISTANCE,
+        GLYPH_H,
+        GLYPH_W,
+        ocr_glyph_png,
+        ocr_text,
+        render_glyph_png,
+        render_text,
+    )
+
+    assert len(CHARSET) == 242 and FONT_MIN_DISTANCE >= 7
+    # logical-order RTL Arabic + accented French, mixed with ASCII
+    text = "بيانات نظام محتوى\ndonnée qualité système\nplain ascii line"
+    assert ocr_glyph_png(render_glyph_png(text)) == text
+
+    budget = (FONT_MIN_DISTANCE - 1) // 2
+    line = "صفحة estrategia données"
+    arr = render_text(line).copy()
+    rng = np.random.RandomState(7)
+    for c in range(len(line)):
+        flips = set()
+        while len(flips) < budget:
+            flips.add((rng.randint(0, GLYPH_H), rng.randint(0, GLYPH_W)))
+        for y, x in flips:
+            arr[y, c * CELL_W + x] = 255 - arr[y, c * CELL_W + x]
+    assert ocr_text(arr) == line
+
+
+def test_corpus_scan_pages_always_glyph_rasters():
+    """render_png no longer falls back to the framed-byte channel: every
+    scan page — including Arabic — is a glyph raster the extractor must
+    RECOGNIZE (corpus.py round-5 contract)."""
+    import zlib
+
+    from ocr_endpoint_project_spark.extraction_core.png_pixels import decode_png_gray
+    from ocr_endpoint_project_spark.sources.corpus import generate_corpus
+
+    rows = [r for r in generate_corpus(400, seed=11) if r.extension == "png"]
+    langs = {r.lang for r in rows}
+    assert "ar" in langs, "corpus draw must include Arabic scan pages"
+    for r in rows:
+        px = decode_png_gray(r.html)
+        # glyph rasters are bilevel 0/255 grids with NO 0xFE frame markers
+        vals = set(px.reshape(-1).tolist())
+        assert vals <= {0, 255} and 0xFE not in vals
