@@ -72,6 +72,28 @@ def time_extraction(spark, replicas: int, partitions: int) -> tuple[float, int, 
     return dt, int(row["n"]), int(row["payload_bytes"] or 0)
 
 
+def kernel_control(n: int = 300, richness: int = 8) -> float:
+    """Pure-Python SERIAL extraction throughput (docs/sec/core) — the
+    same-window hardware control (BENCH/BASELINE.md "Kernel capability").
+
+    This VM drifts 1.5-2.4x on an hours scale; a control number emitted
+    in the SAME window as the query timings makes cross-round per-query
+    comparison drift-adjustable from the bench JSON alone (round-4
+    verdict: the word_metrics_kernel "regression" turned out to be
+    drift — an A/B at 64/512/2048 Arrow rows in one window measured
+    1.23-1.55 s for all three, matching r3's 1.31 s)."""
+    from ocr_endpoint_project_spark.extraction_core.document import extract_document
+    from ocr_endpoint_project_spark.sources.corpus import generate_corpus
+
+    rows = [r for r in generate_corpus(n, seed=42, richness=richness) if r.html]
+    for r in rows:  # warm-up pass (imports, allocator, branch caches)
+        extract_document(r.html)
+    t0 = time.perf_counter()
+    for r in rows:
+        extract_document(r.html)
+    return round(len(rows) / (time.perf_counter() - t0), 1)
+
+
 def _session(name: str, cores: int, aqe: bool = True):
     # Arrow batch sizing is a trade: the JVM VarBinary vector path
     # degrades superlinearly past ~5-10 MB batches (64-row batches moved
@@ -310,6 +332,10 @@ def main() -> None:
     timings["extract_throughput"] = round(dt, 3)
     docs_per_sec = n_docs / dt
 
+    # same-window control brackets the query section so every per-query
+    # number in this JSON is drift-adjustable (healthy window: ~700-800
+    # docs/s/core serial; degraded windows have measured 350-600)
+    control_pre = kernel_control()
     for name in HEADLINE:
         t0 = time.perf_counter()
         try:
@@ -319,6 +345,7 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — one bad query must not kill the bench
             print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
             timings[name] = -1.0
+    control_post = kernel_control()
     total = sum(t for t in timings.values() if t > 0)
     spark.stop()
 
@@ -341,6 +368,12 @@ def main() -> None:
                 # (operators/dedup.py SHINGLE_DF_CAP) — recorded so runs
                 # are comparable across cap settings
                 "shingle_df_cap": SHINGLE_DF_CAP,
+                # serial pure-Python kernel docs/s measured immediately
+                # before/after the query loop — divide query secs by
+                # (control/750) to drift-normalize across rounds
+                "query_section_control_docs_per_sec": {
+                    "pre": control_pre, "post": control_post,
+                },
                 "scaling": scaling,
                 "scaling_secondary": scaling_secondary,
             }
