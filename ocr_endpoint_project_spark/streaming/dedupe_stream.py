@@ -21,14 +21,25 @@ respects doc_id order, which the equivalence test pins).
 
 Replay/commit discipline mirrors streaming/incremental.py: the state
 append carries ``batch_id``; a replayed micro-batch whose batch_id is
-already in state is skipped entirely (idempotent), and the state write
-is the commit point (after the keeper data write).
+already in state is skipped entirely (idempotent). The keeper OUTPUT is
+itself replay-safe (round-5 fix): keepers land in a batch_id-partitioned
+layout written with dynamic partition overwrite, so a crash between the
+output write and the state append replays the batch and REPLACES its
+output partition instead of appending duplicates to the one table whose
+contract is uniqueness. The signature-state append remains the commit
+point (written last).
 
-Df-cap caveat: the hot-shingle cap (SHINGLE_DF_CAP) is applied within
-each batch's shingle stream. A shingle hot across many small batches
-but cool within each would need a persistent hot-shingle state table —
-documented trade-off, not built (the cap exists to bound the band join,
-and the band join here is bounded per batch by construction).
+Cross-batch hot-shingle state (round-5, closing the documented r4 blind
+spot): a persistent ``(h, df, batch_id)`` table at ``state_dir +
+"_shingle_df"`` accumulates per-batch shingle document frequencies. Each
+batch's signatures are capped against the CUMULATIVE df (prior state +
+this batch), so a shingle cool within every micro-batch but hot across
+thousands of them is still dropped from the signature/banding leg —
+without this, many small batches re-open the O(df^2) band-join blowup
+the batch path's ``_cap_hashed`` closed. The verify leg keeps FULL
+shingle sets, exactly like the batch path. Rows are keyed by batch_id,
+so a replayed append deduplicates on read; the table grows with distinct
+shingles and is compactable with jobs/compact_job (aggregate + rewrite).
 """
 
 from __future__ import annotations
@@ -37,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ..operators import dedup as _dedup
 from ..operators.dedup import (
     JACCARD_THRESHOLD,
     LSH_ROWS_PER_BAND,
@@ -50,13 +62,18 @@ from ..functions.text import norm_tokens, shingle_hash32
 _SIG_COLS = [f"mh{i}" for i in range(len(MINHASH_PERMS))]
 
 
-def signature_frame(docs: DataFrame) -> DataFrame:
+def signature_frame(docs: DataFrame, hot: DataFrame | None = None) -> DataFrame:
     """(doc_id, hs, mh0..mhN) over any (doc_id, text) frame: hashed
     shingle SET (array<bigint>, 28-bit md5 domain) plus the MinHash
     signature of its df-capped stream — the same construction the batch
     LSH path pins (operators/dedup.minhash_lsh_pairs). Documents with
     no shingles (too short) keep an empty hs and a null signature; they
-    can never collide in a band, so they are always kept."""
+    can never collide in a band, so they are always kept.
+
+    ``hot``: optional (h) frame of stop-shingle hashes to exclude from
+    the signature leg (broadcast anti-join). When given it REPLACES the
+    within-frame cap: the stream passes cumulative hot sets that already
+    subsume any shingle hot within this one batch."""
     hs = docs.select(
         "doc_id",
         F.array_distinct(
@@ -64,7 +81,11 @@ def signature_frame(docs: DataFrame) -> DataFrame:
         ).alias("hs"),
     )
     hashed = hs.select("doc_id", F.explode("hs").alias("h"))
-    sig = _cap_hashed(hashed).groupBy("doc_id").agg(
+    if hot is not None:
+        capped = hashed.join(F.broadcast(hot.select("h")), "h", "left_anti")
+    else:
+        capped = _cap_hashed(hashed)
+    sig = capped.groupBy("doc_id").agg(
         *[
             F.min((F.col("h") * a + b) % MINHASH_P).alias(f"mh{i}")
             for i, (a, b) in enumerate(MINHASH_PERMS)
@@ -160,43 +181,94 @@ def stream_dedupe(
     """Start the incremental dedup stream: parquet documents in ->
     deduplicated keepers out, with the signature state table at
     ``state_dir`` growing by exactly the kept rows of each batch."""
-    from pyspark.errors import AnalysisException
-
     docs = spark.readStream.schema(schema).parquet(input_dir)
-
-    def _read_state() -> DataFrame | None:
-        try:
-            return spark.read.parquet(state_dir)
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-                return None
-            raise
-
-    def _handle(batch_df, batch_id: int) -> None:
-        state = _read_state()
-        if state is not None and state.filter(F.col("batch_id") == batch_id).limit(1).count():
-            return  # checkpoint replay of a committed batch — idempotent skip
-        batch_df = batch_df.persist()
-        sig = signature_frame(batch_df).persist()
-        dups = _verified_dup_ids(
-            sig, state.drop("batch_id") if state is not None else None
-        )
-        keepers = sig.join(dups, "doc_id", "left_anti")
-        batch_df.join(keepers.select("doc_id"), "doc_id", "left_semi").write.mode(
-            "append"
-        ).parquet(out_dir)
-        # commit point: state appended only after the keeper write returned
-        keepers.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            state_dir
-        )
-        sig.unpersist()
-        batch_df.unpersist()
-
     writer = (
-        docs.writeStream.foreachBatch(_handle)
+        docs.writeStream.foreachBatch(make_batch_handler(spark, out_dir, state_dir))
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def make_batch_handler(spark: SparkSession, out_dir: str, state_dir: str):
+    """The per-micro-batch handler (exposed so the crash/replay window —
+    output written, state not yet — is directly testable)."""
+    from pyspark.errors import AnalysisException
+
+    df_state_dir = state_dir.rstrip("/") + "_shingle_df"
+
+    def _read_or_none(path: str) -> DataFrame | None:
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return None
+            raise
+
+    def _cumulative_df(batch_counts: DataFrame) -> DataFrame:
+        """(h, df) cumulative document frequency: prior state + batch.
+        Prior rows deduplicate on (batch_id, h) first, so a replayed
+        append from a crashed attempt never double-counts."""
+        prior = _read_or_none(df_state_dir)
+        if prior is None:
+            return batch_counts
+        prior = prior.dropDuplicates(["batch_id", "h"]).select("h", "df")
+        return (
+            batch_counts.unionByName(prior).groupBy("h").agg(F.sum("df").alias("df"))
+        )
+
+    def _handle(batch_df, batch_id: int) -> None:
+        state = _read_or_none(state_dir)
+        if state is not None and state.filter(F.col("batch_id") == batch_id).limit(1).count():
+            return  # checkpoint replay of a committed batch — idempotent skip
+        batch_df = batch_df.persist()
+        # per-batch shingle df, then the CUMULATIVE hot set (state + batch):
+        # a shingle cool in every batch but hot across them still gets capped
+        batch_counts = (
+            batch_df.select(
+                "doc_id",
+                F.explode(
+                    F.array_distinct(
+                        F.transform(
+                            _shingles(norm_tokens("text")), lambda s: shingle_hash32(s)
+                        )
+                    )
+                ).alias("h"),
+            )
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .persist()
+        )
+        hot = _cumulative_df(batch_counts).filter(
+            F.col("df") > _dedup.SHINGLE_DF_CAP
+        ).select("h")
+        sig = signature_frame(batch_df, hot=hot).persist()
+        dups = _verified_dup_ids(
+            sig, state.drop("batch_id") if state is not None else None
+        )
+        keepers = sig.join(dups, "doc_id", "left_anti")
+        # replay-safe output: each batch owns one partition, written with
+        # dynamic overwrite — a replayed batch REPLACES its partition
+        (
+            batch_df.join(keepers.select("doc_id"), "doc_id", "left_semi")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+        # df state BEFORE the commit point; replay dedupes on (batch_id, h)
+        batch_counts.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(df_state_dir)
+        # commit point: state appended only after the keeper write returned
+        keepers.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            state_dir
+        )
+        sig.unpersist()
+        batch_counts.unpersist()
+        batch_df.unpersist()
+
+    return _handle

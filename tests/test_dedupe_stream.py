@@ -91,3 +91,108 @@ def test_stream_dedupe_replay_idempotent(spark, tmp_path):
     q.awaitTermination(120)
     assert spark.read.parquet(dirs["out"]).count() == n_out
     assert spark.read.parquet(dirs["state"]).count() == n_state
+
+
+def _sig_cols():
+    from ocr_endpoint_project_spark.streaming.dedupe_stream import _SIG_COLS
+
+    return _SIG_COLS
+
+
+def test_stream_dedupe_cross_batch_hot_shingle_capped(spark, tmp_path, monkeypatch):
+    """Round 5: a shingle COOL within every batch (df 2 <= cap 3) but HOT
+    cumulatively (df 4 after two batches) must be dropped from later
+    batches' signature legs — the persistent (h, df) state closes the r4
+    per-batch blind spot that re-opened the O(df^2) band blowup under
+    many small micro-batches."""
+    from pyspark.sql import functions as F
+
+    from ocr_endpoint_project_spark.operators import dedup
+    from ocr_endpoint_project_spark.streaming.dedupe_stream import (
+        make_batch_handler,
+        signature_frame,
+    )
+
+    monkeypatch.setattr(dedup, "SHINGLE_DF_CAP", 3)
+    dirs = {k: str(tmp_path / k) for k in ("out", "state")}
+    handler = make_batch_handler(spark, dirs["out"], dirs["state"])
+
+    # shared prefix sized so half of each doc's shingles are shared
+    # (capping them must move the minhash) while pairwise Jaccard
+    # (~14/42 = 0.33) stays below the 0.5 dup threshold
+    prefix = " ".join(f"common{k}" for k in range(16))
+    mk = lambda i: (i, prefix + " " + " ".join(f"u{i}w{j}" for j in range(10)))
+    b0, b1 = [mk(1), mk(2)], [mk(3), mk(4)]
+    schema = "doc_id long, text string"
+    handler(spark.createDataFrame(b0, schema), 0)
+    handler(spark.createDataFrame(b1, schema), 1)
+
+    # df state: prefix shingles reach cumulative df 4 > cap 3
+    df_state = spark.read.parquet(dirs["state"] + "_shingle_df")
+    cum = df_state.groupBy("h").agg(F.sum("df").alias("df"))
+    hot = cum.filter(F.col("df") > 3).select("h")
+    assert hot.count() > 0, "shared prefix shingles must be cumulatively hot"
+    # and each hot shingle was cool (df <= 3) within every single batch
+    assert df_state.filter(F.col("df") > 3).count() == 0
+
+    state = spark.read.parquet(dirs["state"])
+    cols = ["doc_id"] + _sig_cols()
+
+    def rows(df):
+        return {tuple(r) for r in df.select(*cols).collect()}
+
+    # batch-0 signatures were computed before the shingles turned hot
+    uncapped0 = signature_frame(spark.createDataFrame(b0, schema))
+    assert rows(state.filter(F.col("batch_id") == 0)) == rows(uncapped0)
+    # batch-1 signatures exclude the cumulatively-hot shingles...
+    capped1 = signature_frame(spark.createDataFrame(b1, schema), hot=hot)
+    assert rows(state.filter(F.col("batch_id") == 1)) == rows(capped1)
+    # ...and genuinely differ from what the uncapped path would produce
+    uncapped1 = signature_frame(spark.createDataFrame(b1, schema))
+    assert rows(state.filter(F.col("batch_id") == 1)) != rows(uncapped1)
+
+
+def test_stream_dedupe_output_survives_crash_before_commit(spark, tmp_path):
+    """Round 5: the keeper output is batch_id-partitioned and written
+    with dynamic overwrite, so a crash BETWEEN the output write and the
+    state append (simulated: state wiped after the handler ran) replays
+    the batch and REPLACES its partition — no duplicate keepers in the
+    one table whose contract is uniqueness."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ocr_endpoint_project_spark.streaming.dedupe_stream import make_batch_handler
+
+    dirs = {k: str(tmp_path / k) for k in ("out", "state")}
+    handler = make_batch_handler(spark, dirs["out"], dirs["state"])
+    schema = "doc_id long, text string"
+    b0 = spark.createDataFrame(BATCH1, schema)
+
+    handler(b0, 0)
+    first = spark.read.parquet(dirs["out"])
+    kept_ids = {r["doc_id"] for r in first.collect()}
+    assert kept_ids == {1, 5}
+
+    # crash window: output + df-state written, signature state was not
+    shutil.rmtree(dirs["state"])
+    handler(b0, 0)  # checkpoint replays the batch
+
+    replayed = spark.read.parquet(dirs["out"])
+    assert {r["doc_id"] for r in replayed.collect()} == {1, 5}
+    assert replayed.count() == len(kept_ids)  # replaced, not appended
+    # df state deduplicates the double append on (batch_id, h): cumulative
+    # counts equal a single clean run's
+    df_state = spark.read.parquet(dirs["state"] + "_shingle_df")
+    assert df_state.count() > df_state.dropDuplicates(["batch_id", "h"]).count()
+    cum = (
+        df_state.dropDuplicates(["batch_id", "h"])
+        .groupBy("h")
+        .agg(F.sum("df").alias("df"))
+    )
+    assert cum.filter(F.col("df") > 2).count() == 0  # 3 docs, max df 2
+
+    # the stream continues cleanly: batch 1 still dedups against state
+    handler(spark.createDataFrame(BATCH2, schema), 1)
+    final = {r["doc_id"] for r in spark.read.parquet(dirs["out"]).collect()}
+    assert final == {1, 5, 12}
