@@ -35,28 +35,37 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _dir_stats(path: str) -> tuple[int, int]:
-    """(n_data_files, total_bytes) of a parquet directory tree."""
+def _dir_stats(spark, path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) of a parquet directory tree, via the
+    Hadoop FileSystem API — so the numbers that SIZE the rewrite are real
+    on every store Spark can read (file:, hdfs:, s3a:, ...). The job's
+    whole reason to exist is the object-store small-files problem; a
+    local ``os.walk`` would silently report 0 files there and compact
+    everything into one (round-5 fix)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)  # recursive; flat remote listing on S3
     n, b = 0, 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                n += 1
-                b += os.path.getsize(os.path.join(root, f))
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().endswith(".parquet"):
+            n += 1
+            b += st.getLen()
     return n, b
 
 
 def compact(spark, input_dir: str, output_dir: str, target_file_mb: int = 128) -> dict:
     """Rewrite ``input_dir`` into ceil(bytes / target) files at
     ``output_dir``; returns before/after stats."""
-    files_before, bytes_before = _dir_stats(input_dir)
+    files_before, bytes_before = _dir_stats(spark, input_dir)
     df = spark.read.parquet(input_dir)
     n_files = max(1, math.ceil(bytes_before / (target_file_mb * 1024 * 1024)))
     n_rows = df.count()
     # round-robin repartition: rows spread evenly regardless of source
     # file sizes or key distribution — compaction must never re-skew
     df.repartition(n_files).write.mode("overwrite").parquet(output_dir)
-    files_after, bytes_after = _dir_stats(output_dir)
+    files_after, bytes_after = _dir_stats(spark, output_dir)
     return {
         "rows": n_rows,
         "files_before": files_before,

@@ -145,17 +145,20 @@ def keeper_frame(ids: DataFrame, pairs: DataFrame) -> DataFrame:
     untouched ids are singleton clusters by definition and join back
     without ever entering the loop.
 
-    Adaptive execution: the pair frame (already the bounded result of a
-    banded candidate join + verify) is counted once; at or below
-    CC_DRIVER_MAX_PAIRS the components resolve driver-side (union-find
-    over the collected pairs — identical min-id labels, none of the
-    per-round job overhead), above it the distributed label-propagation
+    Adaptive execution: ONE bounded collect (limit cap+1) both sizes the
+    graph and, when it fits, delivers the edge list — the typical caller
+    hands in the full LSH-band-join + verify plan unpinned, and a
+    separate count() would execute that dominant plan a second time
+    (round-5 fix). At or below CC_DRIVER_MAX_PAIRS the components resolve
+    driver-side (union-find over the collected pairs — identical min-id
+    labels, none of the per-round job overhead); past the cap the
+    truncated collect is discarded and the distributed label-propagation
     loop runs. Both paths are covered by tests and produce identical
     frames."""
-    n_pairs = pairs.count()
-    if n_pairs <= CC_DRIVER_MAX_PAIRS:
+    head = pairs.select("doc_a", "doc_b").limit(CC_DRIVER_MAX_PAIRS + 1).collect()
+    if len(head) <= CC_DRIVER_MAX_PAIRS:
         spark = pairs.sparkSession
-        rows = [(r[0], r[1]) for r in pairs.select("doc_a", "doc_b").collect()]
+        rows = [(r[0], r[1]) for r in head]
         labels = _driver_union_find(rows)
         schema = pairs.select(
             F.col("doc_a").alias("doc_id"), F.col("doc_a").alias("lab")

@@ -197,17 +197,21 @@ def job_progress(
             "docs_done": 0,
         }
     lin_all = spark.read.parquet(lineage_dir)
+    lin = latest_lineage(lin_all).filter(F.col("status") == STATUS_SUCCEEDED)
     total = num_partitions
     if "partitions_total" in lin_all.columns:
+        # denominator from the SAME latest-per-partition rows that supply
+        # the numerator — multiple runs (run_prefix streams) may share one
+        # lineage_dir, and the globally newest row could belong to a
+        # different job's run, skewing percent/stage (round-5 fix)
         tot_row = (
-            lin_all.filter(F.col("partitions_total").isNotNull())
+            lin.filter(F.col("partitions_total").isNotNull())
             .orderBy(F.desc("finished_at"), F.desc("run_id"))
             .select("partitions_total")
             .first()
         )
         if tot_row is not None:
             total = int(tot_row["partitions_total"])
-    lin = latest_lineage(lin_all).filter(F.col("status") == STATUS_SUCCEEDED)
     row = lin.agg(
         F.count(F.lit(1)).alias("p"), F.sum("doc_count").alias("docs")
     ).collect()[0]

@@ -228,3 +228,40 @@ def test_canonicalize_url_separator_correct(spark):
     ).collect()
     for r in rows:
         assert r.canon == cases[r.url], (r.url, r.canon)
+
+
+def test_job_progress_denominator_scoped_to_counted_rows(spark, pages, tmp_path):
+    """Round 5: with multiple runs sharing one lineage_dir (run_prefix
+    streams), the globally newest lineage row must NOT supply the
+    denominator — partitions_total comes from the same latest-succeeded
+    rows that are being counted. A newer FAILED retry row carrying a
+    foreign partitions_total would otherwise skew percent and stage."""
+    from pyspark.sql import functions as F
+
+    from ocr_endpoint_project_spark.pipeline.lineage import job_progress
+
+    out = str(tmp_path / "job")
+    run_with_lineage(spark, pages, out, run_id="run-1", num_partitions=8)
+    lin_dir = out + "/lineage"
+    # a newer failed attempt for partition 0, from a run configured with
+    # a wildly different partition count
+    failed = (
+        spark.read.parquet(lin_dir)
+        .filter(F.col("partition_id") == 0)
+        .limit(1)
+        .select(
+            "partition_id",
+            F.lit("run-2").alias("run_id"),
+            "doc_count", "ok_count", "failed_count", "byte_count", "checksum",
+            F.current_timestamp().alias("started_at"),
+            (F.current_timestamp() + F.expr("INTERVAL 1 HOUR")).alias("finished_at"),
+            F.lit(999).cast("int").alias("partitions_total"),
+            F.lit("failed").alias("status"),
+        )
+    )
+    failed.write.mode("append").parquet(lin_dir)
+
+    p = job_progress(spark, lin_dir, num_partitions=8)
+    assert p["partitions_total"] == 8  # not the foreign row's 999
+    assert p["partitions_done"] == 7  # partition 0's latest row is failed
+    assert p["stage"] == "extracting" and p["percent"] == 87.5

@@ -117,3 +117,36 @@ def test_compact_job_reduces_files_preserving_rows(spark, tmp_path):
 
     assert spark.read.parquet(out_dir).count() == 20000
     assert checksum(in_dir) == checksum(out_dir)
+
+
+def test_compact_job_file_uri_via_hadoop_fs(spark, tmp_path):
+    """Round 5: directory stats come from the Hadoop FileSystem API, so
+    an explicit `file:` URI (the scheme-qualified path shape every
+    object store uses) works end-to-end — os.walk would have seen a
+    local path only by accident, and nothing on s3a/hdfs."""
+    from pyspark.sql import functions as F
+
+    from jobs.compact_job import _dir_stats, compact
+
+    in_dir = "file://" + str(tmp_path / "frag")
+    out_dir = "file://" + str(tmp_path / "compacted")
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"), F.md5(F.col("id").cast("string")).alias("payload")
+    )
+    df.repartition(16).write.parquet(in_dir)
+
+    n, b = _dir_stats(spark, in_dir)
+    assert n >= 16 and b > 0  # stats sourced from the FS API, not os.walk
+
+    stats = compact(spark, in_dir, out_dir, target_file_mb=1)
+    assert stats["rows"] == 5000
+    assert stats["files_before"] >= 16
+    assert stats["files_after"] < stats["files_before"]
+    assert spark.read.parquet(out_dir).count() == 5000
+
+    def checksum(path):
+        return spark.read.parquet(path).agg(
+            F.md5(F.concat_ws("", F.sort_array(F.collect_list(F.md5("payload")))))
+        ).collect()[0][0]
+
+    assert checksum(in_dir) == checksum(out_dir)
