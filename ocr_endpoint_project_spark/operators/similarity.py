@@ -448,6 +448,12 @@ def q_ann_kmeans_assign(spark, sf_dir):
 KMEANS_K = 8
 
 
+# hard ceiling for the global-window seed ranking (driver-side check, no
+# job): far above any sane IVF cell count, far below anything that could
+# make a single-task window a problem
+_SEED_WINDOW_MAX_K = 65536
+
+
 def kmeans_seed_centroids(vq: DataFrame, k: int) -> DataFrame:
     """Deterministic data-derived seeds for unlabeled corpora: the k
     vectors whose md5(vec_id) rank smallest become cells 0..k-1.
@@ -457,7 +463,20 @@ def kmeans_seed_centroids(vq: DataFrame, k: int) -> DataFrame:
     orderBy().limit(k) compiles to TakeOrderedAndProject — a distributed
     top-k, no global sort shuffle — and the row_number window then runs
     on k rows only. Seeds are stored at the 1e-4 centroid scale (eq*10).
+
+    SCALE GUARD: the no-partition ``Window.orderBy`` below is safe ONLY
+    because its input is the ``.limit(k)`` frame — a global window pulls
+    every row into one task, so this pattern must never be lifted onto
+    an unbounded frame. ``k`` is bounded here so the single task stays
+    trivially small (WindowExec's "No Partition Defined" warning during
+    ann_kmeans_* queries refers to this k-row frame and is expected).
     """
+    if k > _SEED_WINDOW_MAX_K:
+        raise ValueError(
+            f"k={k} exceeds _SEED_WINDOW_MAX_K={_SEED_WINDOW_MAX_K}: the "
+            "global seed-ranking window is bounded by design; raise the "
+            "constant only with a partitioned ranking strategy"
+        )
     seeds = (
         vq.select("vec_id", "eq")
         .withColumn("m", F.md5(F.col("vec_id").cast("string")))
@@ -921,6 +940,283 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# ANN tuning decision table: recall@k x deterministic scan cost per index
+# config, min-max normalized and weighted into one ranked verdict — the
+# reference's benchmark-decision idiom (scripts/generate_decision_report.py:
+# 158-200: criteria -> normalize -> weight -> winner) applied to the ANN
+# family's own knobs (IVF n_probes, SRP band shape). Wall-time is not
+# oracle-checkable, so the cost column is the CANDIDATE-PAIR COUNT — the
+# number of exact distance computations the config pays, which is the
+# quantity wall-time tracks at scale; bench.py carries the measured
+# seconds alongside.
+# ---------------------------------------------------------------------------
+
+TUNING_W_RECALL = 0.7
+TUNING_W_COST = 0.3
+TUNING_IVF_PROBES = (1, 2, 4)
+TUNING_SRP_BANDS = (4, 2)  # 4x6-bit (recall-leaning) vs 2x12-bit (cheap)
+
+
+def _ivf_candidates(spark, sf_dir, n_probes: int) -> DataFrame:
+    """Distinct (query_id, neighbor_id, cosine) candidates under
+    ``n_probes`` probes (each neighbor lives in exactly one cell, so the
+    probe fan-out can't duplicate a pair)."""
+    emb = _emb(spark, sf_dir)
+    probes = (
+        ivf_assign_multi(emb, n_probes)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"), "cell",
+            F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm"),
+        )
+    )
+    pool = _pin(ivf_assign(emb), "ivf_assigned").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("cell").alias("c_cell"),
+        F.col("embedding").alias("c_emb"), F.col("nrm").alias("c_nrm"),
+    )
+    return pool.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("c_cell")) & (F.col("query_id") != F.col("neighbor_id")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        r4(
+            cosine_pair(F.col("q_emb"), F.col("c_emb"), F.col("q_nrm"), F.col("c_nrm"))
+        ).alias("cosine"),
+    )
+
+
+def _srp_candidates(spark, sf_dir, n_bands: int) -> DataFrame:
+    """Distinct SRP candidates with the 24-bit signature cut into
+    ``n_bands`` bands (band_bits = 24/n_bands): fewer, wider bands are
+    more selective — fewer candidates, lower recall."""
+    band_bits = SRP_BITS // n_bands
+    mask = (1 << band_bits) - 1
+    emb = _emb(spark, sf_dir)
+    eq = emb.select(
+        "vec_id", "embedding", vec_norm(F.col("embedding")).alias("nrm"),
+        _quant(F.col("embedding")).alias("eq"),
+    )
+    sig = _pin(
+        eq.select("vec_id", "embedding", "nrm", srp_signature(F.col("eq")).alias("sig")),
+        "srp_sig",
+    )
+    bands = sig.select(
+        "vec_id", "embedding", "nrm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_id"),
+                        (
+                            F.shiftright(F.col("sig"), bi * band_bits)
+                            .bitwiseAND(F.lit(mask))
+                        ).alias("band_key"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("vec_id", "embedding", "nrm", "band.band_id", "band.band_key")
+    q = bands.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("band_id").alias("q_band_id"),
+        F.col("band_key").alias("q_band_key"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    return (
+        bands.join(
+            F.broadcast(q),
+            (F.col("band_id") == F.col("q_band_id"))
+            & (F.col("band_key") == F.col("q_band_key"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            r4(
+                cosine_pair(F.col("q_emb"), F.col("embedding"),
+                            F.col("q_nrm"), F.col("nrm"))
+            ).alias("cosine"),
+        )
+        .distinct()  # a pair sharing several bands is ONE distance computation
+    )
+
+
+def _topk_ids(cand: DataFrame) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def q_ann_tuning_table(spark, sf_dir):
+    """One row per ANN config: (method, n_candidates, n_hits,
+    recall_at_k, score, rank, is_best). Score = 0.7 * minmax(recall) +
+    0.3 * (1 - minmax(candidates)) — the W5/W6 weighted-criteria shape;
+    rank 1 is the config a user should run at these weights."""
+    truth = _pin(
+        q_ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id"),
+        "ann_truth",
+    )
+    legs = [(f"ivf_p{p}", _ivf_candidates(spark, sf_dir, p)) for p in TUNING_IVF_PROBES]
+    legs += [
+        (f"srp_b{b}x{SRP_BITS // b}", _srp_candidates(spark, sf_dir, b))
+        for b in TUNING_SRP_BANDS
+    ]
+    stats = None
+    for name, cand in legs:
+        cand = _pin(cand, f"tune_{name}")
+        ncand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        hits = (
+            _topk_ids(cand)
+            .join(truth, ["query_id", "neighbor_id"])
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        leg = ncand.crossJoin(hits).select(  # 1x1 rows — verdict-frame shape
+            F.lit(name).alias("method"),
+            F.col("n_candidates").cast("bigint").alias("n_candidates"),
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+        )
+        stats = leg if stats is None else stats.unionByName(leg)
+    denom = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    stats = stats.crossJoin(F.broadcast(denom)).withColumn(
+        "recall_at_k", r4(F.col("n_hits").cast("double") / F.col("n_truth"))
+    )
+    ext = stats.agg(
+        F.min("recall_at_k").alias("mn_r"), F.max("recall_at_k").alias("mx_r"),
+        F.min("n_candidates").alias("mn_c"), F.max("n_candidates").alias("mx_c"),
+    )
+    nr = F.when(
+        F.col("mx_r") > F.col("mn_r"),
+        (F.col("recall_at_k") - F.col("mn_r")) / (F.col("mx_r") - F.col("mn_r")),
+    ).otherwise(F.lit(1.0))
+    nc = F.when(
+        F.col("mx_c") > F.col("mn_c"),
+        (F.col("n_candidates") - F.col("mn_c")).cast("double")
+        / (F.col("mx_c") - F.col("mn_c")),
+    ).otherwise(F.lit(0.0))
+    scored = stats.crossJoin(F.broadcast(ext)).withColumn(
+        "score",
+        r4(F.lit(TUNING_W_RECALL) * nr + F.lit(TUNING_W_COST) * (F.lit(1.0) - nc)),
+    )
+    # bounded global window: exactly len(TUNING_*) = 5 rows by construction
+    w = Window.orderBy(F.desc("score"), F.asc("method"))
+    return scored.select(
+        "method", "n_candidates", "n_hits", "recall_at_k", "score",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    ).withColumn("is_best", F.col("rank") == 1)
+
+
+def _sql_tuning_table() -> str:
+    plane_lits = ", ".join(
+        "[" + ", ".join(str(s) for s in row) + "]" for row in SRP_PLANES
+    )
+    bit_terms = " + ".join(
+        f"""CASE WHEN CAST(list_sum(list_transform(range(0, {SRP_DIM}),
+              i -> eq[i + 1] * planes[{b + 1}][i + 1])) AS BIGINT) > 0
+            THEN CAST({1 << b} AS BIGINT) ELSE 0 END"""
+        for b in range(SRP_BITS)
+    )
+    cos = (
+        "floor((list_cosine_similarity(q.embedding::DOUBLE[], "
+        "c.embedding::DOUBLE[])) * 10000 + 0.5) / 10000"
+    )
+    ivf_ctes, leg_rows = [], []
+    for p in TUNING_IVF_PROBES:
+        ivf_ctes.append(f"""probes{p} AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist_q ASC, cell ASC) AS pr
+    FROM scored
+  ) WHERE pr <= {p}
+), ivf{p}_cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+  FROM probes{p} q JOIN assigned c ON q.cell = c.cell AND q.vec_id != c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)""")
+        leg_rows.append((f"ivf_p{p}", f"ivf{p}_cand"))
+    srp_ctes = [f"""svq AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS eq,
+         [{plane_lits}] AS planes
+  FROM embeddings
+), ssig AS (
+  SELECT vec_id, embedding, CAST({bit_terms} AS BIGINT) AS sig FROM svq
+)"""]
+    for n in TUNING_SRP_BANDS:
+        bb = SRP_BITS // n
+        srp_ctes.append(f"""keyed{n} AS (
+  SELECT vec_id, embedding, band_id,
+         (sig >> (band_id * {bb})) & {(1 << bb) - 1} AS band_key
+  FROM (SELECT *, unnest(range(0, {n})) AS band_id FROM ssig)
+), srp{n}_cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+  FROM keyed{n} q JOIN keyed{n} c
+    ON q.band_id = c.band_id AND q.band_key = c.band_key AND q.vec_id != c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)""")
+        leg_rows.append((f"srp_b{n}x{bb}", f"srp{n}_cand"))
+    legs_sql = "\nUNION ALL\n".join(
+        f"""  SELECT '{name}' AS method,
+         (SELECT count(*) FROM {cte}) AS n_candidates,
+         (SELECT count(*)
+          FROM (SELECT query_id, neighbor_id FROM (
+                  SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                  FROM {cte}) WHERE rank <= {TOP_K}) t
+          JOIN truth u ON t.query_id = u.query_id
+                      AND t.neighbor_id = u.neighbor_id) AS n_hits"""
+        for name, cte in leg_rows
+    )
+    ivf_block = ",\n".join(ivf_ctes)
+    srp_block = ",\n".join(srp_ctes)
+    return f"""
+{SQL_IVF_ASSIGN_CTES},
+{ivf_block},
+{srp_block},
+truth AS (SELECT query_id, neighbor_id FROM ({SQL_ANN_BRUTEFORCE})),
+legs AS (
+{legs_sql}
+),
+stats AS (
+  SELECT method, CAST(n_candidates AS BIGINT) AS n_candidates,
+         CAST(n_hits AS BIGINT) AS n_hits,
+         floor((CAST(n_hits AS DOUBLE) / (SELECT count(*) FROM truth))
+               * 10000 + 0.5) / 10000 AS recall_at_k
+  FROM legs
+),
+ext AS (
+  SELECT min(recall_at_k) AS mn_r, max(recall_at_k) AS mx_r,
+         min(n_candidates) AS mn_c, max(n_candidates) AS mx_c
+  FROM stats
+),
+scored_t AS (
+  SELECT s.method, s.n_candidates, s.n_hits, s.recall_at_k,
+         floor(({TUNING_W_RECALL} *
+                  CASE WHEN e.mx_r > e.mn_r
+                       THEN (s.recall_at_k - e.mn_r) / (e.mx_r - e.mn_r)
+                       ELSE 1.0 END
+               + {TUNING_W_COST} *
+                  (1.0 - CASE WHEN e.mx_c > e.mn_c
+                              THEN CAST(s.n_candidates - e.mn_c AS DOUBLE)
+                                   / (e.mx_c - e.mn_c)
+                              ELSE 0.0 END)) * 10000 + 0.5) / 10000 AS score
+  FROM stats s CROSS JOIN ext e
+)
+SELECT *, rank = 1 AS is_best FROM (
+  SELECT method, n_candidates, n_hits, recall_at_k, score,
+         CAST(row_number() OVER (ORDER BY score DESC, method ASC) AS BIGINT) AS rank
+  FROM scored_t
+)
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "ann_ivf_assign": q_ann_ivf_assign,
@@ -930,6 +1226,7 @@ QUERIES = {
     "ann_kmeans_k8_assign": q_ann_kmeans_k8_assign,
     "ann_centroid_per_cell": q_centroid_per_cell,
     "ann_recall_at_k": q_ann_recall_at_k,
+    "ann_tuning_table": q_ann_tuning_table,
     "dedup_embedding_pairs_bucketed": q_embedding_dup_bucketed,
     "dedup_embedding_srp_pairs": q_embedding_srp_pairs,
 }
@@ -943,6 +1240,7 @@ ORACLES = {
     "ann_kmeans_k8_assign": _sql_kmeans_k_assign(KMEANS_K),
     "ann_centroid_per_cell": SQL_CENTROID,
     "ann_recall_at_k": _sql_recall_at_k(),
+    "ann_tuning_table": _sql_tuning_table(),
     "dedup_embedding_pairs_bucketed": SQL_EMBEDDING_DUP_BUCKETED,
     "dedup_embedding_srp_pairs": _sql_srp_pairs(),
 }

@@ -289,3 +289,26 @@ def test_word_ngrams_short_inputs(spark):
         assert got[k] == []
     assert got[3] == ["w0 w1 w2"]
     assert got[5] == ["w0 w1 w2", "w1 w2 w3", "w2 w3 w4"]
+
+
+def test_kmeans_seed_window_guard(spark):
+    """Round 5: the global (no-partition) seed-ranking window is bounded
+    by construction (limit(k)) AND by an explicit driver-side ceiling, so
+    the pattern can never silently run a one-task window over a big
+    frame."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ocr_endpoint_project_spark.operators.similarity import (
+        _SEED_WINDOW_MAX_K,
+        kmeans_seed_centroids,
+    )
+
+    vq = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.col("id").cast("long"), (F.col("id") * 2).cast("long")).alias("eq"),
+    )
+    cents = kmeans_seed_centroids(vq, 4).collect()
+    assert len(cents) == 4 and {r["cell"] for r in cents} == {0, 1, 2, 3}
+    with _pytest.raises(ValueError, match="_SEED_WINDOW_MAX_K"):
+        kmeans_seed_centroids(vq, _SEED_WINDOW_MAX_K + 1)
