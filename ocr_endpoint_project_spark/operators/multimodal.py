@@ -2,12 +2,16 @@
 with typed metadata, processed by Arrow-batch kernels.
 
 The container parsing is REAL (PNG chunk walk for images; a simple
-length-prefixed frame container for 'video'; WAV-style header for
-'audio'); the pixel/sample decode is STUBBED deterministically because
-this environment has no image/audio libraries — each stub is marked and
-swaps for a real decoder with the same signature. What matters at 100 TB
-is exercised for real: schema, binary-safe Arrow batching, partitioning,
-and metadata extraction without reading payload bodies where possible.
+length-prefixed frame container for 'video'; RIFF/WAVE for 'audio').
+As of round 4 the image PIXEL path is real (``png_pixels``: scanline
+codec + resize) and as of round 5 the audio SAMPLE path is real too
+(``wav_pcm``: RIFF chunk-walk decode to int16 PCM, DSP features over
+actual samples — peak / mean-square energy / zero-crossing rate). The
+remaining stand-in is video frame CONTENT decode (no codec exists here
+to bring from scratch); frame framing/sampling math is real. What
+matters at 100 TB is exercised for real throughout: schema, binary-safe
+Arrow batching, partitioning, and metadata extraction without reading
+payload bodies where possible.
 
 Oracle-checked queries build the media table IN CATALYST from the driver
 ``documents`` table, so DuckDB can predict every output value.
@@ -59,12 +63,18 @@ def make_image(width: int, height: int) -> bytes:
     return PNG_MAGIC + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + struct.pack(">I", crc)
 
 
-def make_audio(sample_rate: int, n_samples: int) -> bytes:
-    """WAV-ish: RIFF header with fmt fields; body omitted (meta-only)."""
-    return (
-        b"RIFF" + struct.pack("<I", 36 + n_samples * 2) + b"WAVEfmt "
-        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
-        + b"data" + struct.pack("<I", n_samples * 2)
+def make_audio(
+    sample_rate: int, n_samples: int, amplitude: int = 1000, half_period: int = 4
+) -> bytes:
+    """REAL mono PCM16 WAV (round 5): a deterministic square wave
+    through the from-scratch RIFF codec (``wav_pcm``). The canonical
+    chunk layout keeps header-field offsets identical to the former
+    header-only stand-in, so metadata sniffers are unchanged — but the
+    payload now carries actual samples the DSP kernel decodes."""
+    from ..extraction_core.wav_pcm import encode_wav_pcm16, square_wave
+
+    return encode_wav_pcm16(
+        square_wave(n_samples, amplitude, half_period), sample_rate
     )
 
 
@@ -300,14 +310,112 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# audio DSP over REAL decoded samples (round 5): encode a deterministic
+# square wave per doc through the from-scratch WAV codec, chunk-walk
+# decode it back to int16 PCM, and compute sample-level features — peak,
+# exact mean-square energy, zero-crossing count. Every feature has a
+# closed form on a square wave, so the oracle predicts the decoded math
+# exactly; doc_id % 13 == 5 rows get truncated payloads and must come
+# back as failed rows (the S5 quarantine discipline at the sample layer).
+# ---------------------------------------------------------------------------
+
+
+def _audio_build_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for batch in it:
+        rows = {"asset_id": [], "payload": []}
+        for did, nc in zip(batch["doc_id"], batch["n_chars"]):
+            did, nc = int(did), int(nc)
+            payload = make_audio(
+                8000 + nc % 4000,
+                nc % 64 + 8,
+                amplitude=500 + did % 1000,
+                half_period=2 + did % 6,
+            )
+            if did % 13 == 5:  # deterministic corruption: truncated framing
+                payload = payload[:20]
+            rows["asset_id"].append(did)
+            rows["payload"].append(payload)
+        yield pd.DataFrame(rows)
+
+
+def audio_dsp_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from ..extraction_core.wav_pcm import decode_wav_pcm16
+
+    cols = ("asset_id", "n_samples", "sample_rate", "peak", "mean_square",
+            "n_zero_crossings", "status")
+    for batch in it:
+        out = {k: [] for k in cols}
+        for aid, payload in zip(batch["asset_id"], batch["payload"]):
+            try:
+                s, sr = decode_wav_pcm16(bytes(payload))
+                s64 = s.astype(np.int64)
+                n = len(s64)
+                vals = (
+                    n,
+                    sr,
+                    int(np.abs(s64).max()) if n else None,
+                    int((s64 * s64).sum() // n) if n else None,  # exact int
+                    int(np.count_nonzero(s64[1:] * s64[:-1] < 0)),
+                    "succeeded",
+                )
+            except ValueError:
+                vals = (None, None, None, None, None, "failed")
+            for k, v in zip(cols[1:], vals):
+                out[k].append(v)
+            out["asset_id"].append(int(aid))
+        yield pd.DataFrame(out)
+
+
+def q_media_audio_dsp(spark, sf_dir):
+    from ..functions.text import r4
+
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet").select("doc_id", "n_chars")
+    wavs = docs.repartition(16).mapInPandas(
+        _audio_build_batch, "asset_id long, payload binary"
+    )
+    feats = wavs.mapInPandas(
+        audio_dsp_batch,
+        "asset_id long, n_samples long, sample_rate long, peak long, "
+        "mean_square long, n_zero_crossings long, status string",
+    )
+    return feats.select(
+        "asset_id", "n_samples", "sample_rate", "peak", "mean_square",
+        "n_zero_crossings",
+        r4(F.col("n_samples") / F.col("sample_rate")).alias("duration_s"),
+        "status",
+    )
+
+
+SQL_AUDIO_DSP = """
+SELECT doc_id AS asset_id,
+       CASE WHEN doc_id % 13 != 5 THEN CAST(n_chars % 64 + 8 AS BIGINT) END AS n_samples,
+       CASE WHEN doc_id % 13 != 5 THEN CAST(8000 + n_chars % 4000 AS BIGINT) END AS sample_rate,
+       CASE WHEN doc_id % 13 != 5 THEN CAST(500 + doc_id % 1000 AS BIGINT) END AS peak,
+       CASE WHEN doc_id % 13 != 5
+            THEN CAST((500 + doc_id % 1000) * (500 + doc_id % 1000) AS BIGINT) END AS mean_square,
+       CASE WHEN doc_id % 13 != 5
+            THEN CAST((n_chars % 64 + 7) // (2 + doc_id % 6) AS BIGINT) END AS n_zero_crossings,
+       CASE WHEN doc_id % 13 != 5
+            THEN floor((CAST(n_chars % 64 + 8 AS DOUBLE) / (8000 + n_chars % 4000))
+                       * 10000 + 0.5) / 10000 END AS duration_s,
+       CASE WHEN doc_id % 13 = 5 THEN 'failed' ELSE 'succeeded' END AS status
+FROM documents
+"""
+
+
 QUERIES = {
     "media_decode_meta": q_media_decode,
     "media_frame_sample": q_media_frame_sample,
     "media_feature_extract": q_media_features,
+    "media_audio_dsp": q_media_audio_dsp,
 }
 
 ORACLES = {
     "media_decode_meta": SQL_MEDIA_DECODE,
     "media_frame_sample": SQL_MEDIA_FRAMES,
     "media_feature_extract": SQL_MEDIA_FEATURES,
+    "media_audio_dsp": SQL_AUDIO_DSP,
 }
