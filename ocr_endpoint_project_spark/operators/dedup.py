@@ -591,8 +591,129 @@ FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# paragraph-level (sub-document) dedup: the CCNet/Gopher line-dedup stage
+# — shared boilerplate lines (nav, copyright) repeat across most of a
+# crawl and must be stripped per-PARAGRAPH while the documents survive.
+# Pseudo-paragraphs here are 10-token chunks plus an injected header and
+# footer line shared by EVERY doc, so the oracle predicts exactly which
+# doc keeps each boilerplate line (the globally first occurrence) and
+# what every cleaned text looks like, byte-for-byte.
+#
+# Scale shape: first-occurrence resolution is ONE groupBy(para) with a
+# map-side-combinable min() — the boilerplate paragraph is the classic
+# hot key (present in ~every doc at crawl scale), and an agg absorbs it
+# in partial aggregates where a window/self-join would melt one reducer.
+# The agg OUTPUT is the keeper set directly (para, first doc, first pos),
+# so no join ever shuffles on the hot paragraph key; the only other
+# shuffle is the per-doc rebuild keyed by doc_id.
+# ---------------------------------------------------------------------------
+
+PARA_TOKENS = 10
+PARA_HEADER = "NAV MENU HOME ARCHIVE CONTACT SUBSCRIBE"
+PARA_FOOTER = "COPYRIGHT EXAMPLE CORP ALL RIGHTS RESERVED"
+# (doc_id, pos) packed into one orderable int64; positions are bounded by
+# doc length / PARA_TOKENS << 1e6, asserted by construction
+_PARA_POS_BASE = 1_000_000
+
+
+def q_dedup_paragraphs(spark, sf_dir):
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(PARA_TOKENS))).cast("long")
+    idx = F.when(
+        n_chunks > 0, F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+    ).otherwise(F.array().cast("array<long>"))
+    chunk_paras = F.transform(
+        idx,
+        lambda i: F.struct(
+            (i + 1).alias("pos"),
+            F.array_join(
+                F.slice(toks, (i * PARA_TOKENS + 1).cast("int"), PARA_TOKENS), " "
+            ).alias("para"),
+        ),
+    )
+    paras_arr = F.concat(
+        F.array(F.struct(F.lit(0).cast("long").alias("pos"),
+                         F.lit(PARA_HEADER).alias("para"))),
+        chunk_paras,
+        F.array(F.struct((n_chunks + 1).alias("pos"),
+                         F.lit(PARA_FOOTER).alias("para"))),
+    )
+    paras = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(paras_arr).alias("p"))
+        .select("doc_id", F.col("p.pos").alias("pos"), F.col("p.para").alias("para"))
+    )
+    # ONE hot-key-safe shuffle: min packed (doc_id, pos) per paragraph;
+    # the agg rows ARE the kept paragraphs
+    keepers = (
+        paras.groupBy("para")
+        .agg(F.min(F.col("doc_id") * _PARA_POS_BASE + F.col("pos")).alias("k"))
+        .select(
+            (F.col("k") / _PARA_POS_BASE).cast("long").alias("doc_id"),
+            F.pmod(F.col("k"), F.lit(_PARA_POS_BASE)).alias("pos"),
+            "para",
+        )
+    )
+    rebuilt = keepers.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            "\n",
+        ).alias("kept_text"),
+    )
+    totals = paras.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_paras"))
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_paras",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+    )
+
+
+SQL_DEDUP_PARAGRAPHS = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+), chunks AS (
+  SELECT doc_id, CAST(i + 1 AS BIGINT) AS pos,
+         array_to_string(list_slice(tk, CAST(i * {PARA_TOKENS} + 1 AS BIGINT),
+                                    CAST(i * {PARA_TOKENS} + {PARA_TOKENS} AS BIGINT)),
+                         ' ') AS para
+  FROM (SELECT doc_id, tk,
+               unnest(range(0, CAST(ceil(len(tk) / {float(PARA_TOKENS)}) AS BIGINT))) AS i
+        FROM toks)
+), paras AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS pos, '{PARA_HEADER}' AS para FROM documents
+  UNION ALL
+  SELECT doc_id, pos, para FROM chunks
+  UNION ALL
+  SELECT doc_id, CAST(ceil(len(tk) / {float(PARA_TOKENS)}) + 1 AS BIGINT),
+         '{PARA_FOOTER}' FROM toks
+), keepers AS (
+  SELECT para, min(doc_id * {_PARA_POS_BASE} + pos) AS k FROM paras GROUP BY para
+), krows AS (
+  SELECT k // {_PARA_POS_BASE} AS doc_id, k % {_PARA_POS_BASE} AS pos, para
+  FROM keepers
+), reb AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(para, chr(10) ORDER BY pos) AS kept_text
+  FROM krows GROUP BY doc_id
+), tot AS (
+  SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_paras,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(r.kept_text, '') AS kept_text
+FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_paragraphs": q_dedup_paragraphs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_signature": q_minhash_signature,
     "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -603,6 +724,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_paragraphs": SQL_DEDUP_PARAGRAPHS,
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_minhash_signature": SQL_MINHASH_SIG,
     "dedup_minhash_lsh_pairs": SQL_MINHASH_LSH,

@@ -312,3 +312,37 @@ def test_kmeans_seed_window_guard(spark):
     assert len(cents) == 4 and {r["cell"] for r in cents} == {0, 1, 2, 3}
     with _pytest.raises(ValueError, match="_SEED_WINDOW_MAX_K"):
         kmeans_seed_centroids(vq, _SEED_WINDOW_MAX_K + 1)
+
+
+def test_paragraph_dedup_strips_shared_boilerplate(spark):
+    """Round 5: sub-document dedup — the injected header/footer lines are
+    shared by EVERY doc; exactly one doc (the globally first occurrence)
+    keeps each, everyone else's cleaned text drops them while their own
+    content chunks survive."""
+    from pyspark.sql import functions as F
+
+    from ocr_endpoint_project_spark.operators.dedup import (
+        PARA_FOOTER,
+        PARA_HEADER,
+        q_dedup_paragraphs,
+    )
+
+    out = q_dedup_paragraphs(spark, "/root/testdata/sf0.001")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) > 10
+    with_header = [d for d, r in rows.items() if PARA_HEADER in r["kept_text"]]
+    with_footer = [d for d, r in rows.items() if PARA_FOOTER in r["kept_text"]]
+    assert with_header == [min(rows)] and with_footer == [min(rows)]
+    # global invariant: kept paragraphs == distinct paragraphs (each
+    # surviving exactly once, at its first occurrence) — note the corpus
+    # deliberately contains duplicate DOCUMENTS, whose chunks all lose
+    # to the original (that is the operator working, not a bug)
+    total_kept = sum(r["n_kept"] for r in rows.values())
+    assert total_kept < sum(r["n_paras"] for r in rows.values())  # dedup happened
+    for r in rows.values():
+        assert 0 <= r["n_kept"] <= r["n_paras"]
+    # the first doc keeps every paragraph that first appears in it —
+    # including both boilerplate lines
+    first = rows[min(rows)]
+    assert first["kept_text"].startswith(PARA_HEADER)
+    assert first["kept_text"].endswith(PARA_FOOTER)
