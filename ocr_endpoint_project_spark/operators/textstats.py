@@ -12,9 +12,11 @@ from ._io import read_spread
 from ..functions.text import (
     SQL_CER,
     SQL_NORM_TOKENS,
+    SQL_SHINGLE_HASH32,
     cer_expr,
     norm_tokens,
     r4,
+    shingle_hash32,
     stopword_hits,
     token_count,
 )
@@ -452,9 +454,63 @@ FROM pii
 """
 
 
+# ---------------------------------------------------------------------------
+# model-based quality filtering (round 5): a fastText-style HASHED LINEAR
+# classifier — the filtering idiom CCNet/LLaMA-class pipelines use
+# alongside heuristics (text_quality_score covers the heuristic half).
+# Every token hashes into a 28-bit feature id whose weight is derived
+# deterministically from the hash (w = h % 2001 - 1000, i.e. a fixed
+# random-projection weight vector that needs no side table), the logit is
+# the exact-integer sum of token weights, and keep = logit > 0. Shape:
+# pure map-side Catalyst HOF — ZERO shuffles, codegen'd, embarrassingly
+# parallel at any corpus size; a real trained weight table would swap in
+# as a broadcast join on the same feature ids.
+# ---------------------------------------------------------------------------
+
+_HLS_MOD = 2001
+_HLS_HALF = 1000
+
+
+def q_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = norm_tokens("text")
+    weights = F.transform(
+        toks, lambda t: shingle_hash32(t) % _HLS_MOD - _HLS_HALF
+    )
+    logit = F.aggregate(weights, F.lit(0).cast("long"), lambda acc, v: acc + v)
+    n = F.size(toks)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        logit.alias("logit"),
+        F.when(
+            n > 0, r4(logit.cast("double") / (n * F.lit(_HLS_HALF)))
+        ).alias("quality_score"),
+        (logit > 0).alias("keep"),
+    )
+
+
+SQL_HASHED_LINEAR = f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(len(tk) AS BIGINT) AS n_tokens,
+         CAST(coalesce(list_sum(list_transform(tk,
+             t -> {SQL_SHINGLE_HASH32.format(s='t')} % {_HLS_MOD} - {_HLS_HALF})), 0)
+              AS BIGINT) AS logit
+  FROM (SELECT doc_id, {{tokens}} AS tk FROM documents)
+)
+SELECT doc_id, n_tokens, logit,
+       CASE WHEN n_tokens > 0
+            THEN floor((CAST(logit AS DOUBLE) / (n_tokens * {_HLS_HALF}))
+                       * 10000 + 0.5) / 10000 END AS quality_score,
+       logit > 0 AS keep
+FROM scored
+""".format(tokens=_sql_tokens())
+
+
 QUERIES = {
     "text_token_stats": q_token_stats,
     "text_quality_score": q_quality_score,
+    "text_hashed_linear_score": q_hashed_linear_score,
     "text_lang_id": q_lang_id,
     "text_fingerprint": q_fingerprint,
     "text_bpe_token_count": q_bpe_token_count,
@@ -468,6 +524,7 @@ QUERIES = {
 ORACLES = {
     "text_token_stats": SQL_TOKEN_STATS,
     "text_quality_score": SQL_QUALITY_SCORE,
+    "text_hashed_linear_score": SQL_HASHED_LINEAR,
     "text_lang_id": SQL_LANG_ID,
     "text_fingerprint": SQL_FINGERPRINT,
     "text_bpe_token_count": SQL_BPE_TOKEN_COUNT,
