@@ -192,6 +192,59 @@ def stream_dedupe(
     return writer.start()
 
 
+COMPACTED_BATCH_ID = -1  # sentinel for folded rows in the shingle-df state
+
+
+def compact_shingle_df_state(spark: SparkSession, state_dir: str) -> dict:
+    """Fold the append-only ``(h, df, batch_id)`` shingle-frequency state
+    into one row per shingle, bounding its growth at O(distinct shingles)
+    instead of O(batches x shingles-per-batch).
+
+    Only rows whose batch_id is COMMITTED (present in the signature
+    state, or already folded) are compacted: an uncommitted batch's rows
+    may be re-appended by a crash replay, and folding them first would
+    double-count when replay-dedup on (batch_id, h) no longer sees the
+    original rows. Uncommitted rows are carried through verbatim.
+    Returns {"rows_before", "rows_after"}."""
+    from pyspark.errors import AnalysisException
+
+    df_state_dir = state_dir.rstrip("/") + "_shingle_df"
+    try:
+        df_state = spark.read.parquet(df_state_dir)
+    except AnalysisException:
+        return {"rows_before": 0, "rows_after": 0}
+    try:
+        committed = {
+            r["batch_id"]
+            for r in spark.read.parquet(state_dir).select("batch_id").distinct().collect()
+        }
+    except AnalysisException:
+        committed = set()
+    committed.add(COMPACTED_BATCH_ID)
+    rows_before = df_state.count()
+    clean = df_state.dropDuplicates(["batch_id", "h"])
+    foldable = clean.filter(F.col("batch_id").isin(list(committed)))
+    carried = clean.filter(~F.col("batch_id").isin(list(committed)))
+    folded = (
+        foldable.groupBy("h")
+        .agg(F.sum("df").alias("df"))
+        .withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
+    )
+    out = folded.unionByName(carried.select("h", "df", "batch_id"))
+    # write-swap via a temp dir (Hadoop FS API, so file:/hdfs:/s3a: all
+    # work — same round-5 rule as jobs/compact_job): the state is never
+    # half-rewritten in place
+    tmp = df_state_dir + "_compacting"
+    out.write.mode("overwrite").parquet(tmp)
+    rows_after = spark.read.parquet(tmp).count()
+    jvm = spark._jvm
+    dst = jvm.org.apache.hadoop.fs.Path(df_state_dir)
+    fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(dst, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dst)
+    return {"rows_before": rows_before, "rows_after": rows_after}
+
+
 def make_batch_handler(spark: SparkSession, out_dir: str, state_dir: str):
     """The per-micro-batch handler (exposed so the crash/replay window —
     output written, state not yet — is directly testable)."""

@@ -196,3 +196,58 @@ def test_stream_dedupe_output_survives_crash_before_commit(spark, tmp_path):
     handler(spark.createDataFrame(BATCH2, schema), 1)
     final = {r["doc_id"] for r in spark.read.parquet(dirs["out"]).collect()}
     assert final == {1, 5, 12}
+
+
+def test_shingle_df_state_compaction(spark, tmp_path):
+    """Round 5: the append-only (h, df, batch_id) state folds to one row
+    per shingle — but ONLY committed batches fold; an uncommitted
+    batch's rows are carried verbatim so a crash replay's (batch_id, h)
+    dedup still sees them. Cumulative counts are identical before and
+    after, and the stream keeps running correctly on the compacted
+    state."""
+    from pyspark.sql import functions as F
+
+    from ocr_endpoint_project_spark.streaming.dedupe_stream import (
+        COMPACTED_BATCH_ID,
+        compact_shingle_df_state,
+        make_batch_handler,
+    )
+
+    dirs = {k: str(tmp_path / k) for k in ("out", "state")}
+    handler = make_batch_handler(spark, dirs["out"], dirs["state"])
+    schema = "doc_id long, text string"
+    handler(spark.createDataFrame(BATCH1, schema), 0)
+    handler(spark.createDataFrame(BATCH2, schema), 1)
+    df_dir = dirs["state"] + "_shingle_df"
+
+    def cum():
+        return {
+            r["h"]: r["s"]
+            for r in spark.read.parquet(df_dir)
+            .dropDuplicates(["batch_id", "h"])
+            .groupBy("h")
+            .agg(F.sum("df").alias("s"))
+            .collect()
+        }
+
+    before = cum()
+    # simulate an UNCOMMITTED batch 2: df rows appended, signature state not
+    uncommitted = spark.createDataFrame([(999, 7, 2)], "h long, df long, batch_id int")
+    uncommitted.write.mode("append").parquet(df_dir)
+    before[999] = 7
+
+    stats = compact_shingle_df_state(spark, dirs["state"])
+    assert stats["rows_after"] < stats["rows_before"]
+    after_df = spark.read.parquet(df_dir)
+    assert cum() == before  # cumulative counts preserved exactly
+    # committed rows folded to the sentinel; the uncommitted row survives
+    ids = {r["batch_id"] for r in after_df.select("batch_id").distinct().collect()}
+    assert ids == {COMPACTED_BATCH_ID, 2}
+    # replay of the uncommitted batch's df append still dedups correctly
+    uncommitted.write.mode("append").parquet(df_dir)
+    assert cum() == before
+
+    # the stream continues on compacted state: new batch dedups vs state
+    handler(spark.createDataFrame([(21, BATCH1[0][1] + " x")], schema), 3)
+    kept = {r["doc_id"] for r in spark.read.parquet(dirs["out"]).collect()}
+    assert 21 not in kept  # near-dup of doc 1, caught against state
