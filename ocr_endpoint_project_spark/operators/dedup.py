@@ -665,7 +665,12 @@ def q_dedup_paragraphs(spark, sf_dir):
             "\n",
         ).alias("kept_text"),
     )
-    totals = paras.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_paras"))
+    # n_paras is ARITHMETIC on the doc row (chunks + header + footer):
+    # computing it map-side instead of re-aggregating the exploded frame
+    # deletes a whole-corpus shuffle keyed by doc_id (plan-audited r5)
+    totals = _docs(spark, sf_dir).select(
+        "doc_id", (n_chunks + 2).cast("bigint").alias("n_paras")
+    )
     return totals.join(rebuilt, "doc_id", "left").select(
         "doc_id",
         "n_paras",
@@ -702,7 +707,9 @@ WITH toks AS (
          string_agg(para, chr(10) ORDER BY pos) AS kept_text
   FROM krows GROUP BY doc_id
 ), tot AS (
-  SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY doc_id
+  SELECT doc_id,
+         CAST(ceil(len(tk) / {float(PARA_TOKENS)}) + 2 AS BIGINT) AS n_paras
+  FROM toks
 )
 SELECT t.doc_id, t.n_paras,
        CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
