@@ -58,3 +58,23 @@ def test_tpch_q4_is_left_semi(spark):
         .toString()
     )
     assert "LeftSemi" in plan
+
+
+def test_round5_operator_plan_shapes(spark):
+    """Shuffle budgets of the round-5 operators, pinned so they can't
+    silently regress: the hashed linear scorer is map-side only (its one
+    exchange is the deliberate read-spread repartition), audio DSP adds
+    no shuffle beyond the spread, and paragraph dedup stays within its
+    audited 5-exchange budget (spread x2, para agg, doc agg, join)."""
+    from ocr_endpoint_project_spark.operators import all_queries
+
+    q = all_queries()
+    sf = "/root/testdata/sf0.001"
+
+    def exchanges(name):
+        plan = q[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange")
+
+    assert exchanges("text_hashed_linear_score") <= 1
+    assert exchanges("media_audio_dsp") <= 1
+    assert exchanges("dedup_paragraphs") <= 5
