@@ -76,18 +76,9 @@ def _parse_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
     return objs
 
 
-def _page_content_streams(data: bytes) -> list[bytes]:
-    """Content stream bytes per page, in /Kids document order."""
+def _walk_pages(data: bytes):
+    """(objs, page object numbers in /Kids document order)."""
     objs = _parse_objects(data)
-
-    def decode(num: int) -> bytes:
-        head, stream = objs[num]
-        if stream is None:
-            raise PdfParseError(f"object {num} has no stream")
-        if b"/FlateDecode" in head:
-            return zlib.decompress(stream)
-        return stream
-
     # catalog → /Pages → /Kids; fall back to document-order /Type /Page scan
     page_nums: list[int] = []
     root = next((n for n, (h, _) in sorted(objs.items()) if b"/Type" in h and b"/Catalog" in h), None)
@@ -99,15 +90,61 @@ def _page_content_streams(data: bytes) -> list[bytes]:
                 page_nums = [int(r.group(1)) for r in _REF_RE.finditer(km.group(1))]
     if not page_nums:
         page_nums = [n for n, (h, _) in sorted(objs.items()) if _TYPE_PAGE_RE.search(h)]
+    return objs, page_nums
+
+
+def _decode_stream(objs, num: int) -> bytes:
+    head, stream = objs[num]
+    if stream is None:
+        raise PdfParseError(f"object {num} has no stream")
+    if b"/FlateDecode" in head:
+        return zlib.decompress(stream)
+    return stream
+
+
+def _page_content_streams(data: bytes) -> list[bytes]:
+    """Content stream bytes per page, in /Kids document order."""
+    objs, page_nums = _walk_pages(data)
     streams: list[bytes] = []
     for pn in page_nums:
         cm = _CONTENTS_RE.search(objs[pn][0])
         if not cm:
             continue
-        streams.append(decode(int(cm.group(1))))
+        streams.append(_decode_stream(objs, int(cm.group(1))))
     if not streams:
         raise PdfParseError("no page content streams found")
     return streams
+
+
+# scanned-page support (round 5): a page whose /Resources reference an
+# image XObject and whose content stream shows no text is a RASTER page
+# — the shape the reference OCRs (pdf -> page image -> OCR). The
+# embedded /DeviceGray 8-bit bitmap decodes to pixels and goes through
+# the template-match recognizer (png_glyphs.ocr_text).
+_XOBJ_REF_RE = re.compile(rb"/XObject\s*<<[^>]*?/Im0\s+(\d+)\s+0\s+R")
+_IMG_W_RE = re.compile(rb"/Width\s+(\d+)")
+_IMG_H_RE = re.compile(rb"/Height\s+(\d+)")
+
+
+def _page_image_pixels(objs, page_num: int):
+    """(H, W) uint8 pixel array of the page's image XObject, or None."""
+    m = _XOBJ_REF_RE.search(objs[page_num][0])
+    if not m or int(m.group(1)) not in objs:
+        return None
+    inum = int(m.group(1))
+    head, _ = objs[inum]
+    if b"/Subtype" not in head or b"/Image" not in head:
+        return None
+    wm, hm = _IMG_W_RE.search(head), _IMG_H_RE.search(head)
+    if not (wm and hm):
+        return None
+    import numpy as np
+
+    w, h = int(wm.group(1)), int(hm.group(1))
+    raw = _decode_stream(objs, inum)
+    if len(raw) < w * h:
+        return None
+    return np.frombuffer(raw[: w * h], dtype=np.uint8).reshape(h, w)
 
 
 # ---------------------------------------------------------------------------
@@ -426,16 +463,34 @@ def _column_text(lines: list[dict]) -> str:
 
 
 def extract_pdf_pages(payload: bytes) -> list[str]:
-    """Per-page main text in reading order (columns joined with '\\n\\n')."""
+    """Per-page main text in reading order (columns joined with '\\n\\n').
+
+    Text pages go through span assembly; pages with no text spans but an
+    image XObject are SCANNED pages and go through raster OCR
+    (round 5 — the reference's pdf->image->OCR path, real pixels)."""
+    objs, page_nums = _walk_pages(payload)
     out = []
-    for stream in _page_content_streams(payload):
-        spans = _spans_from_stream(stream)
+    got_any = False
+    for pn in page_nums:
+        cm = _CONTENTS_RE.search(objs[pn][0])
+        if not cm:
+            continue
+        got_any = True
+        spans = _spans_from_stream(_decode_stream(objs, int(cm.group(1))))
         if not spans:
-            out.append("")
+            px = _page_image_pixels(objs, pn)
+            if px is not None:
+                from .png_glyphs import ocr_text
+
+                out.append(ocr_text(px))
+            else:
+                out.append("")
             continue
         lines = _cluster_lines(spans)
         cols = _detect_columns(lines)
         out.append("\n\n".join(t for t in (_column_text(c) for c in cols) if t))
+    if not got_any:
+        raise PdfParseError("no page content streams found")
     return out
 
 

@@ -59,6 +59,25 @@ def page_content(spans: list[TextSpan]) -> bytes:
     return "\n".join(ops).encode("ascii")
 
 
+def _assemble(objs: dict[int, bytes]) -> bytes:
+    """Objects -> complete PDF file (header, xref table, trailer)."""
+    out = bytearray(b"%PDF-1.4\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    xref_pos = len(out)
+    max_num = max(objs)
+    out += f"xref\n0 {max_num + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for num in range(1, max_num + 1):
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {max_num + 1} /Root 1 0 R >>\nstartxref\n{xref_pos}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
 def make_pdf(pages: list[list[TextSpan]], compress: bool = True) -> bytes:
     """Assemble a complete PDF from per-page span lists."""
     # object numbering: 1 catalog, 2 pages, 3 font, then (page, content)*
@@ -83,22 +102,49 @@ def make_pdf(pages: list[list[TextSpan]], compress: bool = True) -> bytes:
             data = raw
             head = f"<< /Length {len(data)} >>".encode()
         objs[content_num] = head + b"\nstream\n" + data + b"\nendstream"
+    return _assemble(objs)
 
-    out = bytearray(b"%PDF-1.4\n")
-    offsets: dict[int, int] = {}
-    for num in sorted(objs):
-        offsets[num] = len(out)
-        out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
-    xref_pos = len(out)
-    max_num = max(objs)
-    out += f"xref\n0 {max_num + 1}\n".encode()
-    out += b"0000000000 65535 f \n"
-    for num in range(1, max_num + 1):
-        out += f"{offsets[num]:010d} 00000 n \n".encode()
-    out += (
-        f"trailer\n<< /Size {max_num + 1} /Root 1 0 R >>\nstartxref\n{xref_pos}\n%%EOF\n"
-    ).encode()
-    return bytes(out)
+
+def make_scanned_pdf(page_texts: list[str]) -> bytes:
+    """A SCANNED document: real PDF pages whose only content is a
+    grayscale image XObject (/DeviceGray, 8-bit, FlateDecode) carrying a
+    glyph raster of the page text — the raster-PDF shape the reference
+    OCRs (``ocr_common.py:431-468``: pdf -> page images -> OCR). The
+    extractor must recognize the pixels (``pdf_extract`` routes imaged
+    pages through the template-match OCR); no text operators exist
+    anywhere in the file. Each page renders at its own longest-line
+    width, so no line wraps and recognition is byte-exact."""
+    from .png_glyphs import render_text
+
+    objs: dict[int, bytes] = {}
+    n_pages = len(page_texts)
+    kids = " ".join(f"{3 + 3 * i} 0 R" for i in range(n_pages))
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    for i, text in enumerate(page_texts):
+        page_num = 3 + 3 * i
+        content_num = page_num + 1
+        image_num = page_num + 2
+        cols = max([1] + [len(line) for line in text.split("\n")])
+        px = render_text(text, cols=cols)
+        h, w = px.shape
+        data = zlib.compress(px.tobytes(), 9)
+        objs[page_num] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {_num(PAGE_W)} {_num(PAGE_H)}] "
+            f"/Resources << /XObject << /Im0 {image_num} 0 R >> >> "
+            f"/Contents {content_num} 0 R >>"
+        ).encode()
+        draw = f"q {w} 0 0 {h} 50 {int(PAGE_H) - 60 - h} cm /Im0 Do Q".encode("ascii")
+        objs[content_num] = (
+            f"<< /Length {len(draw)} >>".encode() + b"\nstream\n" + draw + b"\nendstream"
+        )
+        objs[image_num] = (
+            f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+            f"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode "
+            f"/Length {len(data)} >>".encode()
+            + b"\nstream\n" + data + b"\nendstream"
+        )
+    return _assemble(objs)
 
 
 def layout_paragraphs(

@@ -19,8 +19,15 @@ import random
 from dataclasses import dataclass
 from datetime import datetime, timedelta, timezone
 
-from ..extraction_core.pdf_write import layout_paragraphs, make_pdf
+from ..extraction_core.pdf_write import layout_paragraphs, make_pdf, make_scanned_pdf
 from ..extraction_core.png_stub import make_png_glyph_scan
+
+# bump when generated payloads change shape/content — consumers that
+# cache the corpus (sources/pages.cached_corpus_pages) key on this, so a
+# stale cache can never masquerade as the current generator.
+# v2 (round 5): all scan PNGs are glyph rasters (incl. Arabic/accented);
+# 25% of PDFs are SCANNED (image-XObject raster pages through glyph OCR).
+CORPUS_VERSION = 2
 
 EN_WORDS = (
     "data system pipeline content page extract crawl table spark batch "
@@ -271,6 +278,22 @@ def generate_corpus(
             rows.append(PageRow(url, ts, payload, golden, lang, "html", "mono", 0, 1))
         elif roll < 0.85:
             rtl = lang == "ar"
+            if rng.random() < 0.25:
+                # SCANNED pdf (reference DATABASE.md scan rows): raster
+                # pages only — extraction must OCR the embedded bitmaps
+                paragraphs = blocks_to_pdf_paragraphs(blocks)
+                page_texts = [
+                    "\n\n".join("\n".join(ls) for ls in paragraphs[i : i + 3])
+                    for i in range(0, len(paragraphs), 3)
+                ]
+                rows.append(
+                    PageRow(
+                        url, ts, make_scanned_pdf(page_texts),
+                        golden_from_paragraphs(paragraphs), lang, "pdf",
+                        "scan", int(rtl), 1,
+                    )
+                )
+                continue
             columns = 2 if rng.random() < 0.4 else 1
             payload, golden = render_pdf(blocks, columns=columns, rtl=rtl)
             rows.append(

@@ -53,7 +53,11 @@ def cached_corpus_pages(
     bench input: realistic payload mix, parquet scan path, any size."""
     import os
 
-    path = os.path.join(cache_dir, f"pages_n{n}_s{seed}_r{richness}.parquet")
+    from .corpus import CORPUS_VERSION
+
+    path = os.path.join(
+        cache_dir, f"pages_v{CORPUS_VERSION}_n{n}_s{seed}_r{richness}.parquet"
+    )
     if not os.path.isdir(path):
         # 64 files so the scan+explode stage parallelizes at any core count
         # (8 files capped the stage at 8 tasks -> Amdahl at local[32])

@@ -105,3 +105,41 @@ def test_literal_string_fast_path_matches_stateful():
         assert got == strings
 
     check()
+
+
+def test_scanned_pdf_ocr_roundtrip():
+    """Round 5 (E4): image-only PDF pages — /DeviceGray XObject rasters,
+    zero text operators — extract byte-identically via template-match
+    OCR over the decoded bitmaps, including Arabic/Latin-1 pages."""
+    from ocr_endpoint_project_spark.extraction_core.pdf_extract import extract_pdf
+    from ocr_endpoint_project_spark.extraction_core.pdf_write import make_scanned_pdf
+
+    pages = [
+        "first page line one\nsecond line of page one",
+        "بيانات نظام محتوى\ndonnée qualité",
+        "third page alone",
+    ]
+    payload = make_scanned_pdf(pages)
+    assert payload.startswith(b"%PDF-1.4")
+    assert b"BT" not in payload.split(b"stream")[0]  # no text ops in heads
+    text, spans, n_pages = extract_pdf(payload)
+    assert n_pages == 3
+    assert text == "\n\n".join(pages).strip()
+    assert [k for _, _, k in spans] == ["page_1", "page_2", "page_3"]
+
+
+def test_corpus_scanned_pdfs_byte_identical():
+    """The corpus' scanned-PDF share extracts byte-identically through
+    the full dispatch (sniff -> pdf -> raster OCR)."""
+    from ocr_endpoint_project_spark.extraction_core.document import extract_document
+    from ocr_endpoint_project_spark.sources.corpus import generate_corpus
+
+    rows = [
+        r for r in generate_corpus(400, seed=11)
+        if r.extension == "pdf" and r.layout_type == "scan"
+    ]
+    assert len(rows) > 5, "corpus must include scanned PDFs"
+    assert {r.lang for r in rows} & {"ar", "fr"}, "non-ASCII scans included"
+    for r in rows:
+        res = extract_document(r.html)
+        assert res.status == "succeeded" and res.extracted_text == r.text, r.url
