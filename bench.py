@@ -47,6 +47,8 @@ HEADLINE = [
     "ann_ivf_bucketed",
     "dedup_embedding_srp_pairs",
     "text_quality_score",
+    "text_hashed_linear_score",
+    "dedup_paragraphs",
     "text_winnow_fingerprint",
     "pipeline_training_prep",
     "word_metrics_kernel",
