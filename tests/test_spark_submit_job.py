@@ -150,3 +150,31 @@ def test_compact_job_file_uri_via_hadoop_fs(spark, tmp_path):
         ).collect()[0][0]
 
     assert checksum(in_dir) == checksum(out_dir)
+
+
+def test_stream_dedupe_job_incremental_runs(spark, tmp_path):
+    """Round 5: the streaming-dedup job entry — two invocations over a
+    growing input dir continue from the checkpoint, keepers accumulate
+    replay-safe, and --compact-state folds the shingle-df table."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from jobs.stream_dedupe_job import run
+
+    dirs = {k: str(tmp_path / k) for k in ("in", "out", "ckpt", "state")}
+
+    def write(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+            "append"
+        ).parquet(dirs["in"])
+
+    base = " ".join(f"w{i}" for i in range(40))
+    write([(1, base), (2, base + " x")])  # 2 is a near-dup of 1
+    s1 = run(spark, dirs["in"], dirs["out"], dirs["ckpt"], dirs["state"])
+    assert s1 == {"docs_in": 2, "keepers": 1, "state_rows": 1, "dups_dropped": 1}
+
+    write([(3, base + " y"), (4, " ".join(f"z{i}" for i in range(40)))])
+    s2 = run(spark, dirs["in"], dirs["out"], dirs["ckpt"], dirs["state"],
+             compact_state=True)
+    # 3 dups against state; 4 is fresh
+    assert s2["docs_in"] == 4 and s2["keepers"] == 2 and s2["dups_dropped"] == 2
+    assert s2["state_compaction"]["rows_after"] <= s2["state_compaction"]["rows_before"]
