@@ -127,7 +127,9 @@ _IMG_H_RE = re.compile(rb"/Height\s+(\d+)")
 
 
 def _page_image_pixels(objs, page_num: int):
-    """(H, W) uint8 pixel array of the page's image XObject, or None."""
+    """(H, W) uint8 pixel array of the page's image XObject, or None.
+    Handles /BitsPerComponent 8 (raw gray rows) and 1 (bilevel, rows
+    padded to byte boundaries per the PDF image spec)."""
     m = _XOBJ_REF_RE.search(objs[page_num][0])
     if not m or int(m.group(1)) not in objs:
         return None
@@ -142,6 +144,16 @@ def _page_image_pixels(objs, page_num: int):
 
     w, h = int(wm.group(1)), int(hm.group(1))
     raw = _decode_stream(objs, inum)
+    bpc = 1 if b"/BitsPerComponent 1" in head else 8
+    if bpc == 1:
+        stride = (w + 7) // 8
+        if len(raw) < h * stride:
+            return None
+        bits = np.unpackbits(
+            np.frombuffer(raw[: h * stride], dtype=np.uint8).reshape(h, stride),
+            axis=1,
+        )[:, :w]
+        return (bits * 255).astype(np.uint8)
     if len(raw) < w * h:
         return None
     return np.frombuffer(raw[: w * h], dtype=np.uint8).reshape(h, w)

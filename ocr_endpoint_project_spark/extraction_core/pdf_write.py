@@ -114,6 +114,8 @@ def make_scanned_pdf(page_texts: list[str]) -> bytes:
     pages through the template-match OCR); no text operators exist
     anywhere in the file. Each page renders at its own longest-line
     width, so no line wraps and recognition is byte-exact."""
+    import numpy as np
+
     from .png_glyphs import render_text
 
     objs: dict[int, bytes] = {}
@@ -128,7 +130,9 @@ def make_scanned_pdf(page_texts: list[str]) -> bytes:
         cols = max([1] + [len(line) for line in text.split("\n")])
         px = render_text(text, cols=cols)
         h, w = px.shape
-        data = zlib.compress(px.tobytes(), 9)
+        # 1 bit/pixel, rows padded to byte boundaries (PDF image spec) —
+        # the honest bilevel-scan shape, 8x smaller than 8-bit gray
+        data = zlib.compress(np.packbits(px > 127, axis=1).tobytes(), 9)
         objs[page_num] = (
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {_num(PAGE_W)} {_num(PAGE_H)}] "
             f"/Resources << /XObject << /Im0 {image_num} 0 R >> >> "
@@ -140,7 +144,7 @@ def make_scanned_pdf(page_texts: list[str]) -> bytes:
         )
         objs[image_num] = (
             f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
-            f"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode "
+            f"/ColorSpace /DeviceGray /BitsPerComponent 1 /Filter /FlateDecode "
             f"/Length {len(data)} >>".encode()
             + b"\nstream\n" + data + b"\nendstream"
         )
