@@ -270,6 +270,51 @@ def _tokenize(stream: bytes):
             yield ("op", m.group(0).decode("latin-1"))
 
 
+# fast-path scanner (round 5, the html_fast idiom applied to PDF): the
+# overwhelmingly common content-stream shape — BT, optional /Fn s Tf
+# size changes, `1 0 0 1 x y Tm` positioning, `<hex> Tj` shows, ET —
+# walks with ONE coarse regex per operator group instead of ~10 generic
+# token matches per span. Any byte the coarse grammar can't consume
+# (literal strings, Td/TD/T*/TL/TJ, other matrices) returns None and the
+# caller falls back to the general executor; a corpus-wide parity test
+# pins fast == general on every stream the writer emits.
+_FAST_ITEM = re.compile(
+    rb"(?:(?P<bt>BT)|(?P<et>ET)"
+    rb"|/F\d+ (?P<tf>[-+]?[\d.]+) Tf"
+    rb"|1 0 0 1 (?P<tx>[-+]?[\d.]+) (?P<ty>[-+]?[\d.]+) Tm"
+    rb"|<(?P<hx>[0-9A-Fa-f]*)> Tj)\s*"
+)
+
+
+def _spans_fast(stream: bytes) -> list[tuple[float, float, float, str]] | None:
+    spans: list[tuple[float, float, float, str]] = []
+    x = y = 0.0
+    size = 12.0
+    i, n = 0, len(stream)
+    scan = _FAST_ITEM.match
+    fromhex = bytes.fromhex
+    while i < n:
+        m = scan(stream, i)
+        if m is None:
+            return None  # outside the coarse grammar — use the general path
+        i = m.end()
+        g = m.lastgroup
+        if g == "hx":
+            hexbody = m.group("hx")
+            if len(hexbody) % 2:
+                hexbody += b"0"
+            spans.append(
+                (x, y, size, fromhex(hexbody.decode("ascii")).decode("utf-8", "replace"))
+            )
+        elif g == "ty":
+            x, y = float(m.group("tx")), float(m.group("ty"))
+        elif g == "tf":
+            size = float(m.group("tf"))
+        elif g == "bt":
+            x = y = 0.0
+    return spans
+
+
 def _spans_from_stream(stream: bytes) -> list[tuple[float, float, float, str]]:
     """Execute text operators; return (x, y, size, text) spans.
 
@@ -488,7 +533,10 @@ def extract_pdf_pages(payload: bytes) -> list[str]:
         if not cm:
             continue
         got_any = True
-        spans = _spans_from_stream(_decode_stream(objs, int(cm.group(1))))
+        stream = _decode_stream(objs, int(cm.group(1)))
+        spans = _spans_fast(stream)
+        if spans is None:
+            spans = _spans_from_stream(stream)
         if not spans:
             px = _page_image_pixels(objs, pn)
             if px is not None:

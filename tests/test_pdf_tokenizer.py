@@ -143,3 +143,36 @@ def test_corpus_scanned_pdfs_byte_identical():
     for r in rows:
         res = extract_document(r.html)
         assert res.status == "succeeded" and res.extracted_text == r.text, r.url
+
+
+def test_fast_span_scanner_parity_and_fallback():
+    """Round 5: the coarse-grammar fast scanner must return EXACTLY the
+    general executor's spans on every stream the writer emits, and None
+    (forcing fallback) on anything outside its grammar."""
+    from ocr_endpoint_project_spark.extraction_core.pdf_extract import (
+        _page_content_streams,
+        _spans_fast,
+        _spans_from_stream,
+    )
+    from ocr_endpoint_project_spark.sources.corpus import generate_corpus
+
+    n_pages = 0
+    for r in generate_corpus(300, seed=7, richness=2):
+        if r.extension != "pdf" or r.layout_type == "scan" or not r.html:
+            continue
+        for stream in _page_content_streams(r.html):
+            fast = _spans_fast(stream)
+            assert fast is not None, "writer output must stay in the fast grammar"
+            assert fast == _spans_from_stream(stream)
+            n_pages += 1
+    assert n_pages > 50
+
+    # outside the grammar -> None, never a wrong answer
+    for s in (
+        b"BT\n(literal) Tj\nET",          # literal string
+        b"BT\n10 20 Td\n<41> Tj\nET",     # Td positioning
+        b"BT\n[<41> 5 <42>] TJ\nET",      # TJ array
+        b"BT\n2 0 0 2 5 5 Tm\n<41> Tj\nET",  # scaling matrix
+    ):
+        assert _spans_fast(s) is None
+        assert _spans_from_stream(s)  # the general path handles them all
