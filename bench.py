@@ -96,6 +96,28 @@ def kernel_control(n: int = 300, richness: int = 8) -> float:
     return round(len(rows) / (time.perf_counter() - t0), 1)
 
 
+def hw_control(n: int = 40) -> float:
+    """Kernel-INDEPENDENT hardware control: zlib+md5 over a fixed seeded
+    1 MiB buffer, serial, ops/s. kernel_control() doubles as a kernel-
+    capability number and legitimately moves when the kernel gets faster
+    (r5: PDF fast path, 3.4x) — cross-round DRIFT normalization needs a
+    workload that never changes. Observed 33-40 ops/s in round-5's
+    degraded windows — compare RATIOS across draws; the absolute healthy
+    ceiling gets calibrated as healthy windows are observed."""
+    import hashlib
+    import random
+    import zlib
+
+    buf = random.Random(0).randbytes(1 << 20)
+    for _ in range(3):  # warm-up
+        zlib.compress(buf, 6)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        zlib.compress(buf, 6)
+        hashlib.md5(buf).digest()
+    return round(n / (time.perf_counter() - t0), 2)
+
+
 def _session(name: str, cores: int, aqe: bool = True):
     # Arrow batch sizing is a trade: the JVM VarBinary vector path
     # degrades superlinearly past ~5-10 MB batches (64-row batches moved
@@ -338,6 +360,7 @@ def main() -> None:
     # number in this JSON is drift-adjustable (healthy window: ~700-800
     # docs/s/core serial; degraded windows have measured 350-600)
     control_pre = kernel_control()
+    hw_pre = hw_control()
     for name in HEADLINE:
         t0 = time.perf_counter()
         try:
@@ -348,6 +371,7 @@ def main() -> None:
             print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
             timings[name] = -1.0
     control_post = kernel_control()
+    hw_post = hw_control()
     total = sum(t for t in timings.values() if t > 0)
     spark.stop()
 
@@ -375,6 +399,12 @@ def main() -> None:
                 # (control/750) to drift-normalize across rounds
                 "query_section_control_docs_per_sec": {
                     "pre": control_pre, "post": control_post,
+                },
+                # kernel-independent drift yardstick (zlib+md5, fixed
+                # buffer): use THIS for cross-round normalization; the
+                # kernel control above also moves with kernel speedups
+                "query_section_hw_control_ops_per_sec": {
+                    "pre": hw_pre, "post": hw_post,
                 },
                 "scaling": scaling,
                 "scaling_secondary": scaling_secondary,
