@@ -469,8 +469,73 @@ FROM cls GROUP BY 1, 2
 
 
 
+# ---------------------------------------------------------------------------
+# WARC source round-trip (round 5): each doc becomes a 2-record
+# .warc.gz blob (one 200 response carrying the text, one 404 that crawl
+# hygiene must skip) built and re-parsed by the REAL connector
+# (sources/warc.py: record framing, per-member gzip, HTTP envelope).
+# The oracle predicts every field from the construction — so the parser
+# that would feed the pages table from actual Common-Crawl segments is
+# itself oracle-gated.
+# ---------------------------------------------------------------------------
+
+
+def _warc_roundtrip_batch(it):
+    from datetime import datetime, timedelta, timezone
+
+    import pandas as pd
+
+    from ..sources.warc import pages_rows_from_warc, parse_warc, write_warc
+
+    epoch = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    for batch in it:
+        out = {"doc_id": [], "n_records": [], "n_page_rows": [],
+               "body_identical": [], "ts_match": []}
+        for did, text in zip(batch["doc_id"], batch["text"]):
+            did = int(did)
+            url = f"https://warc.example/doc/{did}"
+            dt = epoch + timedelta(seconds=did)
+            body = str(text).encode("utf-8")
+            blob = write_warc(
+                [
+                    (url, dt, body, "text/html"),
+                    (url + "/gone", dt, b"gone", "text/html", 404),
+                ],
+                gzip_members=True,
+            )
+            rows = pages_rows_from_warc(blob)
+            out["doc_id"].append(did)
+            out["n_records"].append(len(parse_warc(blob)))
+            out["n_page_rows"].append(len(rows))
+            out["body_identical"].append(
+                len(rows) == 1 and rows[0][2] == body and rows[0][0] == url
+            )
+            out["ts_match"].append(len(rows) == 1 and rows[0][1] == dt)
+        yield pd.DataFrame(out)
+
+
+def q_warc_roundtrip(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "text").repartition(16)
+    return docs.mapInPandas(
+        _warc_roundtrip_batch,
+        "doc_id long, n_records long, n_page_rows long, "
+        "body_identical boolean, ts_match boolean",
+    )
+
+
+SQL_WARC_ROUNDTRIP = """
+SELECT doc_id,
+       CAST(2 AS BIGINT) AS n_records,
+       CAST(1 AS BIGINT) AS n_page_rows,
+       TRUE AS body_identical,
+       TRUE AS ts_match
+FROM documents
+"""
+
+
 QUERIES = {
     "extract_roundtrip": q_extract_roundtrip,
+    "web_warc_roundtrip": q_warc_roundtrip,
     "sections_parse": q_sections_parse,
     "json_recovery": q_json_recovery,
     "word_metrics_kernel": q_word_metrics_kernel,
@@ -538,6 +603,7 @@ FROM strs
 
 ORACLES = {
     "extract_roundtrip": SQL_EXTRACT_ROUNDTRIP,
+    "web_warc_roundtrip": SQL_WARC_ROUNDTRIP,
     "sections_parse": SQL_SECTIONS_PARSE,
     "json_recovery": SQL_JSON_RECOVERY,
     "word_metrics_kernel": SQL_WORD_METRICS,

@@ -245,3 +245,44 @@ def test_gzip_transparent_decompression():
     corrupt_body = whole[:10] + bytes(255 - b for b in whole[10:-8]) + whole[-8:]
     res = extract_document(corrupt_body)
     assert res.status == "failed"
+
+
+def test_warc_connector_roundtrip_and_framing():
+    """Round 5: the WARC/1.0 source connector — record framing by
+    Content-Length, per-member gzip, HTTP envelope parse, crawl-hygiene
+    skip of non-200 records, and hard errors on truncated framing."""
+    from datetime import datetime, timezone
+
+    import pytest as _pytest
+
+    from ocr_endpoint_project_spark.sources.warc import (
+        pages_rows_from_warc,
+        parse_warc,
+        write_warc,
+    )
+
+    dt = datetime(2024, 3, 4, 5, 6, 7, tzinfo=timezone.utc)
+    body = "<html><body>x \r\n\r\n tricky body</body></html>".encode()
+    recs = [
+        ("https://w.example/a", dt, body, "text/html"),
+        ("https://w.example/b", dt, b"redirected", "text/html", 301),
+        ("https://w.example/c", dt, b"ok too", "text/plain"),
+    ]
+    for gz in (False, True):
+        blob = write_warc(recs, gzip_members=gz)
+        parsed = parse_warc(blob)
+        assert [r["http_status"] for r in parsed] == [200, 301, 200]
+        assert parsed[0]["body"] == body  # CRLFs inside the body survive
+        rows = pages_rows_from_warc(blob)
+        assert [r[0] for r in rows] == ["https://w.example/a", "https://w.example/c"]
+        assert all(r[1] == dt for r in rows)
+
+    blob = write_warc(recs)
+    with _pytest.raises(ValueError):
+        parse_warc(blob[: len(blob) // 2])  # truncated record body
+    with _pytest.raises(ValueError):
+        parse_warc(b"NOTWARC" + blob)
+    # truncated gzip member
+    gzblob = write_warc(recs, gzip_members=True)
+    with _pytest.raises(ValueError):
+        parse_warc(gzblob[:-20])
