@@ -97,3 +97,34 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
         F.col("lang"),
     )
+
+
+def pages_from_warc_blobs(blobs: DataFrame, blob_col: str = "warc") -> DataFrame:
+    """WARC segment blobs -> pages DataFrame (round 5).
+
+    Input: a DataFrame with one ``.warc``/``.warc.gz`` segment's bytes
+    per row (``blob_col`` binary) — the shape a Common-Crawl manifest
+    read produces. Each blob parses independently inside an Arrow batch
+    kernel (``sources/warc.pages_rows_from_warc``): embarrassingly
+    parallel, no shuffle; the output is the engine's ``pages`` contract
+    (golden ``text`` is null — real crawl data has no golden column) and
+    feeds ``pipeline.extract.run_extraction`` directly, which salts and
+    repartitions downstream.
+    """
+    import pandas as pd
+
+    from .warc import pages_rows_from_warc
+
+    def _parse(it):
+        for batch in it:
+            out = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
+            for blob in batch[blob_col]:
+                for url, ts, body, lang in pages_rows_from_warc(bytes(blob)):
+                    out["url"].append(url)
+                    out["warc_ts"].append(ts)
+                    out["html"].append(body)
+                    out["text"].append(None)
+                    out["lang"].append(lang)
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(_parse, PAGES_SCHEMA)

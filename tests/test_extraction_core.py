@@ -286,3 +286,30 @@ def test_warc_connector_roundtrip_and_framing():
     gzblob = write_warc(recs, gzip_members=True)
     with _pytest.raises(ValueError):
         parse_warc(gzblob[:-20])
+
+
+def test_pages_from_warc_blobs_feeds_extraction(spark):
+    """WARC segments -> pages DataFrame -> real extraction end-to-end:
+    the connector's output schema IS the pipeline's input contract."""
+    from datetime import datetime, timezone
+
+    from ocr_endpoint_project_spark.pipeline.extract import run_extraction
+    from ocr_endpoint_project_spark.sources.corpus import generate_corpus
+    from ocr_endpoint_project_spark.sources.pages import pages_from_warc_blobs
+    from ocr_endpoint_project_spark.sources.warc import write_warc
+
+    docs = [r for r in generate_corpus(40, seed=5) if r.html and r.text][:12]
+    # two segments of six pages each, gzip members like real CC
+    blobs = []
+    for half in (docs[:6], docs[6:]):
+        recs = [(r.url, r.warc_ts.replace(microsecond=0), r.html, "text/html")
+                for r in half]
+        blobs.append((write_warc(recs, gzip_members=True),))
+    pages = pages_from_warc_blobs(spark.createDataFrame(blobs, "warc binary"))
+    extracted = run_extraction(pages, num_partitions=4)
+    got = {r["url"]: r for r in extracted.collect()}
+    assert len(got) == 12
+    golden = {r.url: r.text for r in docs}
+    for url, row in got.items():
+        assert row["status"] == "succeeded"
+        assert row["extracted_text"] == golden[url], url
