@@ -528,6 +528,8 @@ def extract_pdf_pages(payload: bytes) -> list[str]:
     objs, page_nums = _walk_pages(payload)
     out = []
     got_any = False
+    ocr_slots: list[int] = []
+    ocr_grids: list = []
     for pn in page_nums:
         cm = _CONTENTS_RE.search(objs[pn][0])
         if not cm:
@@ -540,15 +542,21 @@ def extract_pdf_pages(payload: bytes) -> list[str]:
         if not spans:
             px = _page_image_pixels(objs, pn)
             if px is not None:
-                from .png_glyphs import ocr_text
-
-                out.append(ocr_text(px))
+                ocr_slots.append(len(out))
+                out.append("")  # filled by the batched match below
+                ocr_grids.append(px)
             else:
                 out.append("")
             continue
         lines = _cluster_lines(spans)
         cols = _detect_columns(lines)
         out.append("\n\n".join(t for t in (_column_text(c) for c in cols) if t))
+    if ocr_grids:
+        # ONE vectorized template match for all imaged pages of the doc
+        from .png_glyphs import ocr_pages
+
+        for slot, text in zip(ocr_slots, ocr_pages(ocr_grids)):
+            out[slot] = text
     if not got_any:
         raise PdfParseError("no page content streams found")
     return out

@@ -85,7 +85,7 @@ def _raster_pages(pixels) -> list[str]:
     inside page bodies: byte-page data rows are consumed by their
     marker's row count, and glyph rows always contain zero spacing
     columns (so they are never all-0xFF / all-0xFE)."""
-    from .png_glyphs import ocr_text
+    from .png_glyphs import ocr_pages
 
     import numpy as np
 
@@ -107,6 +107,11 @@ def _raster_pages(pixels) -> list[str]:
         if width >= 37
         else np.zeros(h, dtype=bool)
     )
+    # glyph pages are collected and recognized in ONE batched match
+    # (ocr_pages) — per-page calls paid ~70 us of fixed numpy overhead
+    # each, dominating multi-page scan docs (round-5 profile)
+    glyph_slots: list[int] = []
+    glyph_grids: list = []
     r = 0
     while r < h:
         if is_byte_marker[r]:
@@ -118,10 +123,15 @@ def _raster_pages(pixels) -> list[str]:
         elif is_glyph_marker[r]:
             bits = (pixels[r, 4:36] > 127).astype(np.uint8)
             (n_rows,) = struct.unpack(">I", np.packbits(bits).tobytes())
-            pages.append(ocr_text(pixels[r + 1 : r + 1 + n_rows]))
+            glyph_slots.append(len(pages))
+            pages.append("")  # placeholder, filled after the batch match
+            glyph_grids.append(pixels[r + 1 : r + 1 + n_rows])
             r += 1 + n_rows
         else:
             r += 1
+    if glyph_grids:
+        for slot, text in zip(glyph_slots, ocr_pages(glyph_grids)):
+            pages[slot] = text
     return pages
 
 
