@@ -493,10 +493,35 @@ def cosine_pair(a_vec, b_vec, a_norm, b_norm):
     return _dot(a_vec, b_vec) / (a_norm * b_norm)
 
 
-def q_embedding_dup_pairs(spark, sf_dir):
+# hard cap on the EXACT all-pairs variant: it exists as the small-n
+# recall oracle for the bucketed twins (q_embedding_dup_bucketed,
+# q_embedding_srp_pairs in this module / operators/similarity.py) and is
+# O(n^2) by construction — at 50k vectors that is already 1.25e9 pairs.
+# Tunable for deliberate oracle runs; the guard trips BEFORE the join.
+EXACT_PAIRS_MAX_VECTORS = int(
+    os.environ.get("SPARK_GRAFT_EXACT_PAIRS_MAX_VECTORS", "50000")
+)
+
+
+def q_embedding_dup_pairs(spark, sf_dir, max_vectors: int | None = None):
+    """EXACT all-pairs cosine near-dup — the recall ORACLE, not the scale
+    path. Guarded: refuses tables above ``max_vectors`` (default
+    EXACT_PAIRS_MAX_VECTORS) so it cannot be pointed at a full corpus by
+    accident; use q_embedding_dup_bucketed / q_embedding_srp_pairs (the
+    IVF-cell and SRP-LSH twins) for anything big — pipeline/dedupe.py
+    only ever routes through the bucketed path."""
+    cap = EXACT_PAIRS_MAX_VECTORS if max_vectors is None else max_vectors
     emb = read_spread(spark, f"{sf_dir}/embeddings.parquet").withColumn(
         "nrm", vec_norm(F.col("embedding"))
     )
+    n = emb.count()
+    if n > cap:
+        raise ValueError(
+            f"q_embedding_dup_pairs is the exact O(n^2) recall oracle and is "
+            f"capped at {cap} vectors (got {n}); use q_embedding_dup_bucketed "
+            f"or q_embedding_srp_pairs for large tables, or raise "
+            f"SPARK_GRAFT_EXACT_PAIRS_MAX_VECTORS deliberately."
+        )
     a = emb.alias("a")
     b = emb.alias("b")
     return (
@@ -613,7 +638,7 @@ PARA_TOKENS = 10
 PARA_HEADER = "NAV MENU HOME ARCHIVE CONTACT SUBSCRIBE"
 PARA_FOOTER = "COPYRIGHT EXAMPLE CORP ALL RIGHTS RESERVED"
 # (doc_id, pos) packed into one orderable int64; positions are bounded by
-# doc length / PARA_TOKENS << 1e6, asserted by construction
+# doc length / PARA_TOKENS << 1e6, enforced at pack time via raise_error
 _PARA_POS_BASE = 1_000_000
 
 
@@ -645,12 +670,27 @@ def q_dedup_paragraphs(spark, sf_dir):
         .select("doc_id", F.col("p.pos").alias("pos"), F.col("p.para").alias("para"))
     )
     # ONE hot-key-safe shuffle: min packed (doc_id, pos) per paragraph;
-    # the agg rows ARE the kept paragraphs
+    # the agg rows ARE the kept paragraphs. pos < _PARA_POS_BASE is
+    # enforced at pack time (raise_error, not a silent wrap: a >10M-token
+    # doc must fail loudly, never corrupt keys), and the unpack uses
+    # integer `div` — double division rounds for doc_id >= ~4.5e9 and
+    # would misattribute the keeper vs the oracle's integer `//`.
+    packed = F.when(
+        F.col("pos") < _PARA_POS_BASE,
+        F.col("doc_id") * _PARA_POS_BASE + F.col("pos"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("q_dedup_paragraphs: pos >= _PARA_POS_BASE for doc_id "),
+                F.col("doc_id").cast("string"),
+            )
+        ).cast("long")
+    )
     keepers = (
         paras.groupBy("para")
-        .agg(F.min(F.col("doc_id") * _PARA_POS_BASE + F.col("pos")).alias("k"))
+        .agg(F.min(packed).alias("k"))
         .select(
-            (F.col("k") / _PARA_POS_BASE).cast("long").alias("doc_id"),
+            F.expr(f"k div {_PARA_POS_BASE}").alias("doc_id"),
             F.pmod(F.col("k"), F.lit(_PARA_POS_BASE)).alias("pos"),
             "para",
         )

@@ -104,7 +104,10 @@ def parse_warc(data: bytes) -> list[dict]:
         for line in data[pos:hdr_end].split(_CRLF)[1:]:
             k, _, v = line.decode("utf-8", "replace").partition(":")
             headers[k.strip().lower()] = v.strip()
-        length = int(headers["content-length"])
+        length_hdr = headers.get("content-length")
+        if length_hdr is None:
+            raise ValueError(f"WARC record at offset {pos} missing Content-Length")
+        length = int(length_hdr)
         block = data[hdr_end + 4 : hdr_end + 4 + length]
         if len(block) < length:
             raise ValueError("truncated WARC record body")

@@ -195,6 +195,19 @@ def stream_dedupe(
 COMPACTED_BATCH_ID = -1  # sentinel for folded rows in the shingle-df state
 
 
+def _recover_compaction_swap(spark: SparkSession, df_state_dir: str) -> None:
+    """If a compaction crashed between moving the live shingle-df dir
+    aside and moving the new one into place (dst missing, dst_old
+    present), restore the aside copy so no reader ever sees an
+    empty-state window."""
+    jvm = spark._jvm
+    dst = jvm.org.apache.hadoop.fs.Path(df_state_dir)
+    fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
+    old = jvm.org.apache.hadoop.fs.Path(df_state_dir + "_old")
+    if not fs.exists(dst) and fs.exists(old):
+        fs.rename(old, dst)
+
+
 def compact_shingle_df_state(spark: SparkSession, state_dir: str) -> dict:
     """Fold the append-only ``(h, df, batch_id)`` shingle-frequency state
     into one row per shingle, bounding its growth at O(distinct shingles)
@@ -209,6 +222,7 @@ def compact_shingle_df_state(spark: SparkSession, state_dir: str) -> dict:
     from pyspark.errors import AnalysisException
 
     df_state_dir = state_dir.rstrip("/") + "_shingle_df"
+    _recover_compaction_swap(spark, df_state_dir)
     try:
         df_state = spark.read.parquet(df_state_dir)
     except AnalysisException:
@@ -237,11 +251,20 @@ def compact_shingle_df_state(spark: SparkSession, state_dir: str) -> dict:
     tmp = df_state_dir + "_compacting"
     out.write.mode("overwrite").parquet(tmp)
     rows_after = spark.read.parquet(tmp).count()
+    # swap order (round-6 fix): rename the live dir ASIDE first, then the
+    # new dir into place, then delete the old copy — a crash at any point
+    # leaves either the live dir or the _old copy on disk, never a window
+    # where the state is silently gone (the reader treats a missing dir
+    # as empty, which would degrade hot-shingle capping without error)
     jvm = spark._jvm
     dst = jvm.org.apache.hadoop.fs.Path(df_state_dir)
     fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(dst, True)
+    old = jvm.org.apache.hadoop.fs.Path(df_state_dir + "_old")
+    if fs.exists(old):  # leftover from a crash after a completed swap
+        fs.delete(old, True)
+    fs.rename(dst, old)
     fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dst)
+    fs.delete(old, True)
     return {"rows_before": rows_before, "rows_after": rows_after}
 
 
@@ -260,14 +283,23 @@ def make_batch_handler(spark: SparkSession, out_dir: str, state_dir: str):
                 return None
             raise
 
-    def _cumulative_df(batch_counts: DataFrame) -> DataFrame:
+    def _cumulative_df(batch_counts: DataFrame, batch_id: int) -> DataFrame:
         """(h, df) cumulative document frequency: prior state + batch.
-        Prior rows deduplicate on (batch_id, h) first, so a replayed
-        append from a crashed attempt never double-counts."""
+        Prior rows deduplicate on (batch_id, h), and rows carrying THIS
+        batch_id are excluded entirely: a crashed attempt writes its df
+        rows before the commit point, so on replay the recomputed
+        ``batch_counts`` already covers them — unioning both would
+        double-count the batch and could flip near-cap shingles hot only
+        on replay, breaking stream==batch equivalence (round-6 fix)."""
+        _recover_compaction_swap(spark, df_state_dir)
         prior = _read_or_none(df_state_dir)
         if prior is None:
             return batch_counts
-        prior = prior.dropDuplicates(["batch_id", "h"]).select("h", "df")
+        prior = (
+            prior.filter(F.col("batch_id") != batch_id)
+            .dropDuplicates(["batch_id", "h"])
+            .select("h", "df")
+        )
         return (
             batch_counts.unionByName(prior).groupBy("h").agg(F.sum("df").alias("df"))
         )
@@ -294,7 +326,7 @@ def make_batch_handler(spark: SparkSession, out_dir: str, state_dir: str):
             .agg(F.count(F.lit(1)).alias("df"))
             .persist()
         )
-        hot = _cumulative_df(batch_counts).filter(
+        hot = _cumulative_df(batch_counts, batch_id).filter(
             F.col("df") > _dedup.SHINGLE_DF_CAP
         ).select("h")
         sig = signature_frame(batch_df, hot=hot).persist()

@@ -346,3 +346,18 @@ def test_paragraph_dedup_strips_shared_boilerplate(spark):
     first = rows[min(rows)]
     assert first["kept_text"].startswith(PARA_HEADER)
     assert first["kept_text"].endswith(PARA_FOOTER)
+
+
+def test_embedding_exact_pairs_guard(spark):
+    """Round 6 (VERDICT #3): the exact all-pairs embedding query is the
+    O(n^2) recall oracle — it must refuse tables above its vector cap so
+    nobody points it at a full corpus; the bucketed/SRP twins are the
+    scale path."""
+    import pytest as _pytest
+
+    from ocr_endpoint_project_spark.operators.dedup import q_embedding_dup_pairs
+
+    with _pytest.raises(ValueError, match="capped"):
+        q_embedding_dup_pairs(spark, "/root/testdata/sf0.001", max_vectors=1)
+    # under the cap it still runs (the oracle path at test scale)
+    assert q_embedding_dup_pairs(spark, "/root/testdata/sf0.001").limit(1).count() >= 0

@@ -251,3 +251,102 @@ def test_shingle_df_state_compaction(spark, tmp_path):
     handler(spark.createDataFrame([(21, BATCH1[0][1] + " x")], schema), 3)
     kept = {r["doc_id"] for r in spark.read.parquet(dirs["out"]).collect()}
     assert 21 not in kept  # near-dup of doc 1, caught against state
+
+
+def test_stream_dedupe_replay_shingle_df_not_double_counted(
+    spark, tmp_path, monkeypatch
+):
+    """Round 6 (ADVICE): a crash-replayed batch's df rows are already in
+    the shingle-df state (written before the commit point); the replay
+    recomputes the same counts, and unioning BOTH would double the
+    batch's df — flipping near-cap shingles hot only on replay and
+    producing different signatures than a clean run. The cumulative-df
+    builder must exclude prior rows carrying the replayed batch_id."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ocr_endpoint_project_spark.operators import dedup
+    from ocr_endpoint_project_spark.streaming.dedupe_stream import (
+        make_batch_handler,
+        signature_frame,
+    )
+
+    # 3 docs share a prefix -> prefix shingle df 3 == cap 3 (cool in a
+    # clean run); the bug would see 3 prior + 3 recomputed = 6 > 3 (hot)
+    monkeypatch.setattr(dedup, "SHINGLE_DF_CAP", 3)
+    dirs = {k: str(tmp_path / k) for k in ("out", "state")}
+    handler = make_batch_handler(spark, dirs["out"], dirs["state"])
+    prefix = " ".join(f"common{k}" for k in range(16))
+    mk = lambda i: (i, prefix + " " + " ".join(f"u{i}w{j}" for j in range(10)))
+    schema = "doc_id long, text string"
+    b0 = spark.createDataFrame([mk(1), mk(2), mk(3)], schema)
+
+    handler(b0, 0)
+    cols = ["doc_id"] + _sig_cols()
+    rows = lambda df: {tuple(r) for r in df.select(*cols).collect()}
+    clean = rows(spark.read.parquet(dirs["state"]))
+
+    # crash window: output + df rows written, signature state not
+    shutil.rmtree(dirs["state"])
+    handler(b0, 0)  # replay
+
+    replayed = rows(spark.read.parquet(dirs["state"]))
+    assert replayed == clean
+    # the clean run's signatures are the UNCAPPED ones (df == cap is cool)
+    assert replayed == rows(signature_frame(b0))
+    # sanity: df cumulative counts also match a single clean run
+    cum = (
+        spark.read.parquet(dirs["state"] + "_shingle_df")
+        .dropDuplicates(["batch_id", "h"])
+        .groupBy("h")
+        .agg(F.sum("df").alias("df"))
+    )
+    assert cum.filter(F.col("df") > 3).count() == 0
+
+
+def test_shingle_df_compaction_swap_crash_recovery(spark, tmp_path):
+    """Round 6 (ADVICE): the compaction swap renames the live dir ASIDE
+    before moving the new one in — a crash between the two steps leaves
+    a recoverable ``_old`` copy, and readers restore it instead of
+    silently treating the state as empty (which would degrade
+    hot-shingle capping without any error)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ocr_endpoint_project_spark.streaming.dedupe_stream import (
+        compact_shingle_df_state,
+        make_batch_handler,
+    )
+
+    dirs = {k: str(tmp_path / k) for k in ("out", "state")}
+    handler = make_batch_handler(spark, dirs["out"], dirs["state"])
+    schema = "doc_id long, text string"
+    handler(spark.createDataFrame(BATCH1, schema), 0)
+    df_dir = dirs["state"] + "_shingle_df"
+
+    def cum():
+        return {
+            r["h"]: r["s"]
+            for r in spark.read.parquet(df_dir)
+            .dropDuplicates(["batch_id", "h"])
+            .groupBy("h")
+            .agg(F.sum("df").alias("s"))
+            .collect()
+        }
+
+    before = cum()
+    # simulate the crash window: live dir moved aside, new dir never landed
+    os.rename(df_dir, df_dir + "_old")
+    stats = compact_shingle_df_state(spark, dirs["state"])  # recovers, then folds
+    assert stats["rows_before"] > 0
+    assert cum() == before
+    assert not os.path.exists(df_dir + "_old")
+
+    # same crash window, recovery via the batch handler's read path
+    os.rename(df_dir, df_dir + "_old")
+    handler(spark.createDataFrame(BATCH2, schema), 1)
+    kept = {r["doc_id"] for r in spark.read.parquet(dirs["out"]).collect()}
+    assert kept == {1, 5, 12}  # cross-batch dup 11 still caught
+    assert 999 not in cum()  # state restored, not re-created empty

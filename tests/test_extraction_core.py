@@ -286,6 +286,11 @@ def test_warc_connector_roundtrip_and_framing():
     gzblob = write_warc(recs, gzip_members=True)
     with _pytest.raises(ValueError):
         parse_warc(gzblob[:-20])
+    # missing Content-Length is a framing error -> ValueError, not KeyError
+    # (round-6 ADVICE fix: consistent malformed-input contract)
+    no_cl = blob.replace(b"Content-Length:", b"X-Not-Length:", 1)
+    with _pytest.raises(ValueError, match="Content-Length"):
+        parse_warc(no_cl)
 
 
 def test_pages_from_warc_blobs_feeds_extraction(spark):
