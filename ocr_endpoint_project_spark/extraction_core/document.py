@@ -18,12 +18,13 @@ from .sniff import (
     KIND_EMPTY,
     KIND_HTML,
     KIND_IMAGE,
+    KIND_JPEG,
     KIND_PDF,
     sniff_doc_kind,
 )
 from .html_extract import extract_html
 from .pdf_extract import extract_pdf
-from .png_stub import extract_png_text
+from .png_stub import extract_jpeg_text, extract_png_text
 
 # Error taxonomy — names preserved from the reference
 # (cv_api/pipeline.py raise sites; docs/API_CONTRACT_V1.md:143-152).
@@ -87,6 +88,8 @@ def extract_document(payload: bytes | None, max_bytes: int = MAX_DOC_BYTES) -> E
             res.extracted_text, res.spans, res.n_pages = extract_pdf(payload)
         elif kind == KIND_IMAGE:
             res.extracted_text, res.spans, res.n_pages = extract_png_text(payload)
+        elif kind == KIND_JPEG:
+            res.extracted_text, res.spans, res.n_pages = extract_jpeg_text(payload)
         else:
             res.error = ERR_INVALID_FILE_TYPE
         if res.error is None and not res.extracted_text:

@@ -45,18 +45,13 @@ def make_png_scan(page_texts: list[str], width: int = 612, height: int = 792) ->
     return encode_png_gray(pixels_from_pages(page_texts, width=width))
 
 
-def make_png_glyph_scan(page_texts: list[str]) -> bytes:
-    """Build a scan PNG whose pages are GLYPH RASTERS (png_glyphs font):
-    extraction must actually RECOGNIZE the text (template-match OCR),
-    not read it back from a byte channel. ASCII-only (the font's
-    charset); each page = one 0xFE marker row carrying its pixel-row
-    count, then the rendered glyph grid. All pages share one width (the
-    longest line across pages), so no line ever wraps and the OCR
-    round-trip is byte-exact."""
+def glyph_scan_pixels(page_texts: list[str]):
+    """Page texts -> one stacked 0/1 glyph-raster grid (marker row per
+    page, then its rendered glyph rows) — the shared scan-image layout
+    behind both the PNG and the JPEG scan containers."""
     import numpy as np
 
     from .png_glyphs import render_text
-    from .png_pixels import encode_png_bilevel
 
     # marker rows need 4 sync bits + 32 length bits + all-ink tail
     cols = max(
@@ -73,9 +68,49 @@ def make_png_glyph_scan(page_texts: list[str]) -> bytes:
         rows.append(g)
     if not rows:
         rows.append(np.zeros((1, 6 * cols), dtype=np.uint8))
+    return np.vstack(rows)
+
+
+def make_png_glyph_scan(page_texts: list[str]) -> bytes:
+    """Build a scan PNG whose pages are GLYPH RASTERS (png_glyphs font):
+    extraction must actually RECOGNIZE the text (template-match OCR),
+    not read it back from a byte channel. Each page = one 0xFE marker
+    row carrying its pixel-row count, then the rendered glyph grid. All
+    pages share one width (the longest line across pages), so no line
+    ever wraps and the OCR round-trip is byte-exact."""
+    from .png_pixels import encode_png_bilevel
+
     # 1-bit grayscale: ink/paper needs one bit per pixel — 8x smaller
     # scan payloads, and the codec's depth-1 path is exercised for real
-    return encode_png_bilevel(np.vstack(rows))
+    return encode_png_bilevel(glyph_scan_pixels(page_texts))
+
+
+def make_jpeg_glyph_scan(page_texts: list[str]) -> bytes:
+    """Build a scan JPEG (baseline DCT, ``jpeg_pixels``) of the same
+    glyph-raster layout as :func:`make_png_glyph_scan` — the corpus'
+    ``jpg``/``jpeg`` leg (reference upload whitelist,
+    ``cv_api/main.py:38-40``). The codec is genuinely lossy; the
+    ``Q_SCAN`` error bound guarantees the raster re-binarizes exactly,
+    so recognition still round-trips byte-identically."""
+    from .jpeg_pixels import encode_jpeg_gray
+
+    return encode_jpeg_gray(glyph_scan_pixels(page_texts) * 255)
+
+
+def extract_jpeg_text(payload: bytes) -> tuple[str, list[tuple[int, int, str]], int]:
+    """Extract ``(text, spans, n_pages)`` from a scan JPEG: baseline
+    decode to the luma raster, re-binarize at 127 (the ``Q_SCAN`` bound
+    makes this exact for bilevel sources), then the same marker-row walk
+    + glyph OCR as the PNG scan path."""
+    import numpy as np
+
+    from .jpeg_pixels import JPEG_MAGIC, decode_jpeg_gray
+
+    if not payload.startswith(JPEG_MAGIC):
+        raise ValueError("not a JPEG payload")
+    px = decode_jpeg_gray(payload)
+    bilevel = np.where(px > 127, np.uint8(255), np.uint8(0))
+    return _pages_to_result(_raster_pages(bilevel))
 
 
 def _raster_pages(pixels) -> list[str]:

@@ -9,11 +9,13 @@ from __future__ import annotations
 
 PDF_MAGIC = b"%PDF-"
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+JPEG_MAGIC = b"\xff\xd8\xff"
 
 # kinds
 KIND_HTML = "html"
 KIND_PDF = "pdf"
 KIND_IMAGE = "image"
+KIND_JPEG = "jpeg"
 KIND_EMPTY = "empty"
 KIND_UNKNOWN = "unknown"
 
@@ -32,6 +34,8 @@ def sniff_doc_kind(payload: bytes | None) -> str:
         return KIND_PDF
     if payload.startswith(PNG_MAGIC):
         return KIND_IMAGE
+    if payload.startswith(JPEG_MAGIC):
+        return KIND_JPEG
     head = payload[:1024].lower()
     stripped = head.lstrip()
     if stripped.startswith(b"<") or any(h in head for h in _HTML_HINTS):

@@ -295,6 +295,72 @@ FROM documents
 """
 
 
+def _jpeg_ocr_batch(it):
+    """Per doc: render a snippet, flip k noise pixels per glyph, carry
+    the raster through the LOSSY baseline-JPEG codec (jpeg_pixels DCT +
+    Huffman), re-binarize, template-match OCR. ``rebinarize_exact``
+    asserts the Q_SCAN worst-case error bound (q/2 * 12.91 < 128) held
+    pixel-for-pixel; ``ocr_exact`` asserts the noise flips were then
+    corrected by nearest-template Hamming match — the whole jpg/jpeg
+    upload path of the reference (cv_api/main.py:38-40,
+    ocr_common.py:233-249) as one distributed kernel."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    sanitize = re.compile(_GLYPH_SANITIZE_RE)
+
+    from ..extraction_core.jpeg_pixels import decode_jpeg_gray, encode_jpeg_gray
+    from ..extraction_core.png_glyphs import (
+        GLYPH_H,
+        GLYPH_W,
+        CELL_W,
+        ocr_text,
+        render_text,
+    )
+
+    for batch in it:
+        out = {"doc_id": [], "n_chars_rendered": [], "noise_flips_per_glyph": [],
+               "rebinarize_exact": [], "ocr_exact": []}
+        for did, text in zip(batch["doc_id"], batch["text"]):
+            snippet = sanitize.sub("?", str(text)[:OCR_SNIPPET_CHARS]).rstrip()
+            arr = render_text(snippet, cols=OCR_SNIPPET_CHARS).copy()
+            k = 1 + int(did) % 3
+            rng = np.random.RandomState(int(did) % (2**31))
+            for c in range(len(snippet)):
+                for _ in range(k):
+                    y, x = rng.randint(0, GLYPH_H), rng.randint(0, GLYPH_W)
+                    arr[y, c * CELL_W + x] = 255 - arr[y, c * CELL_W + x]
+            dec = decode_jpeg_gray(encode_jpeg_gray(arr))
+            bilevel = np.where(dec > 127, np.uint8(255), np.uint8(0))
+            out["doc_id"].append(int(did))
+            out["n_chars_rendered"].append(len(snippet))
+            out["noise_flips_per_glyph"].append(k)
+            out["rebinarize_exact"].append(bool(np.array_equal(bilevel, arr)))
+            out["ocr_exact"].append(ocr_text(bilevel) == snippet)
+        yield pd.DataFrame(out)
+
+
+def q_ocr_jpeg_roundtrip(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "text").repartition(16)
+    return docs.mapInPandas(
+        _jpeg_ocr_batch,
+        "doc_id long, n_chars_rendered long, noise_flips_per_glyph long, "
+        "rebinarize_exact boolean, ocr_exact boolean",
+    )
+
+
+SQL_OCR_JPEG = f"""
+SELECT doc_id,
+       CAST(length(rtrim(substr(text, 1, {OCR_SNIPPET_CHARS}))) AS BIGINT) AS n_chars_rendered,
+       CAST(1 + doc_id % 3 AS BIGINT) AS noise_flips_per_glyph,
+       TRUE AS rebinarize_exact,
+       TRUE AS ocr_exact
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # URL canonicalization: the normalize-before-dedup step every crawler
 # pipeline runs (fragments dropped, default ports stripped, scheme/host
@@ -545,6 +611,7 @@ QUERIES = {
     "extract_error_taxonomy": q_extract_error_taxonomy,
     "web_url_canonicalize": q_url_canonicalize,
     "ocr_glyph_roundtrip": q_ocr_glyph_roundtrip,
+    "ocr_jpeg_roundtrip": q_ocr_jpeg_roundtrip,
 }
 
 _SQL_PRED = "regexp_replace(text, 'batch', 'match', 'g')"
@@ -613,4 +680,5 @@ ORACLES = {
     "extract_error_taxonomy": SQL_ERROR_TAXONOMY,
     "web_url_canonicalize": SQL_URL_CANONICALIZE,
     "ocr_glyph_roundtrip": SQL_OCR_GLYPH,
+    "ocr_jpeg_roundtrip": SQL_OCR_JPEG,
 }

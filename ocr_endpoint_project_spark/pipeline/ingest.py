@@ -28,10 +28,11 @@ def _error_code(max_bytes: int):
         F.when(F.col("url").isNull(), F.lit(ERR_NULL_URL))
         .when(F.col("html").isNull() | (payload_len == 0), F.lit(ERR_EMPTY_FILE))
         .when(payload_len > max_bytes, F.lit(ERR_FILE_TOO_LARGE))
-        .when(  # must sniff as a supported kind: pdf / png / html-ish
+        .when(  # must sniff as a supported kind: pdf / png / jpeg / html-ish
             ~(
                 F.col("html").startswith(F.lit(b"%PDF-"))
                 | F.col("html").startswith(F.lit(b"\x89PNG\r\n\x1a\n"))
+                | F.col("html").startswith(F.lit(b"\xff\xd8\xff"))
                 | F.lower(F.col("html").cast("string")).contains("<")
             ),
             F.lit(ERR_INVALID_FILE_TYPE),

@@ -20,14 +20,17 @@ from dataclasses import dataclass
 from datetime import datetime, timedelta, timezone
 
 from ..extraction_core.pdf_write import layout_paragraphs, make_pdf, make_scanned_pdf
-from ..extraction_core.png_stub import make_png_glyph_scan
+from ..extraction_core.png_stub import make_jpeg_glyph_scan, make_png_glyph_scan
 
 # bump when generated payloads change shape/content — consumers that
 # cache the corpus (sources/pages.cached_corpus_pages) key on this, so a
 # stale cache can never masquerade as the current generator.
 # v2 (round 5): all scan PNGs are glyph rasters (incl. Arabic/accented);
 # 25% of PDFs are SCANNED (image-XObject raster pages through glyph OCR).
-CORPUS_VERSION = 2
+# v3 (round 6): a third of the scan leg renders as baseline JPEG
+# (jpeg_pixels DCT codec) — the reference's jpg/jpeg upload path
+# (cv_api/main.py:38-40) exercised through real lossy entropy decode.
+CORPUS_VERSION = 3
 
 EN_WORDS = (
     "data system pipeline content page extract crawl table spark batch "
@@ -226,6 +229,17 @@ def render_png(blocks: list[tuple[str, str]]) -> tuple[bytes, str]:
     return make_png_glyph_scan(page_texts), golden
 
 
+def render_jpeg(blocks: list[tuple[str, str]]) -> tuple[bytes, str]:
+    """Scan pages as a baseline JPEG of the same glyph-raster layout as
+    :func:`render_png` — lossy DCT carriage whose ``Q_SCAN`` error bound
+    guarantees exact re-binarization, so the OCR byte-identity oracle
+    holds through a genuinely lossy codec."""
+    paragraphs = blocks_to_pdf_paragraphs(blocks)
+    page_texts = ["\n".join(lines) for lines in paragraphs]
+    golden = "\n\n".join(page_texts).strip()
+    return make_jpeg_glyph_scan(page_texts), golden
+
+
 # ---------------------------------------------------------------------------
 # corpus generator
 # ---------------------------------------------------------------------------
@@ -303,6 +317,14 @@ def generate_corpus(
                 )
             )
         else:
-            payload, golden = render_png(blocks)
-            rows.append(PageRow(url, ts, payload, golden, lang, "png", "scan", 0, 1))
+            if rng.random() < 1 / 3:
+                # JPEG scan (reference accepts jpg/jpeg uploads,
+                # cv_api/main.py:38-40): same glyph-raster layout, but
+                # carried by the lossy baseline-DCT codec — extraction
+                # pays a real Huffman+IDCT decode before OCR
+                payload, golden = render_jpeg(blocks)
+                rows.append(PageRow(url, ts, payload, golden, lang, "jpg", "scan", 0, 1))
+            else:
+                payload, golden = render_png(blocks)
+                rows.append(PageRow(url, ts, payload, golden, lang, "png", "scan", 0, 1))
     return rows
