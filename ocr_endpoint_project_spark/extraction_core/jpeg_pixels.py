@@ -160,16 +160,26 @@ def _value_bits(v: np.ndarray, size: np.ndarray) -> np.ndarray:
 def _pack_bitstream(bits: np.ndarray, lens: np.ndarray) -> bytes:
     """(value, length) records -> byte-stuffed entropy bytes.
 
-    Expands every record to its bit vector in one broadcast, packs with
-    np.packbits (1-padded tail per the spec), and stuffs 0x00 after
-    every 0xFF.
+    Scatters each record's bits into one flat bit array, grouped by
+    record length so no (n x maxlen) rectangle is ever materialized
+    (the earlier broadcast form allocated sum(n)*maxlen int64 — hundreds
+    of MB and a page-fault storm on dense rasters). Packs with
+    np.packbits (1-padded tail per the spec) and stuffs 0x00 after every
+    0xFF.
     """
-    maxlen = int(lens.max()) if len(lens) else 0
-    shifts = lens[:, None] - 1 - np.arange(maxlen)[None, :]
-    valid = shifts >= 0
-    mat = (bits[:, None] >> np.maximum(shifts, 0)) & 1
-    flat = mat[valid].astype(np.uint8)
-    pad = (-len(flat)) % 8
+    if not len(lens):
+        return b""
+    total = int(lens.sum())
+    ends = np.cumsum(lens)
+    offs = ends - lens
+    flat = np.zeros(total, dtype=np.uint8)
+    for length in np.unique(lens):
+        sel = lens == length
+        b = bits[sel]
+        shifts = np.arange(length - 1, -1, -1)
+        pos = offs[sel][:, None] + np.arange(length)[None, :]
+        flat[pos.ravel()] = ((b[:, None] >> shifts[None, :]) & 1).astype(np.uint8).ravel()
+    pad = (-total) % 8
     if pad:
         flat = np.concatenate([flat, np.ones(pad, dtype=np.uint8)])
     packed = np.packbits(flat)

@@ -35,11 +35,18 @@ COST_PER_PAGE_USD = 0.002
 def salted_pages(
     pages: DataFrame, num_partitions: int = DEFAULT_PARTITIONS, salt_buckets: int = 1
 ) -> DataFrame:
-    """Tag rows with a stable logical ``partition_id`` and co-locate them.
+    """Tag rows with a stable logical ``partition_id`` and spread them.
 
-    ``partition_id = pmod(xxhash64(url [, salt]), P)`` — deterministic from
-    the data (NOT the scheduler), so lineage rows keyed by it survive
-    restarts; equal ids land in one physical partition via repartition.
+    ``partition_id = pmod(xxhash64(url [, salt]), P)`` — deterministic
+    from the data (NOT the scheduler), so lineage rows keyed by it
+    survive restarts. The PHYSICAL exchange hashes the raw 64-bit key
+    (north_rule: "salts and repartitions on a 64-bit url hash"), not the
+    modded id: hashing P distinct ids into P buckets collides
+    birthday-style (measured 4.0x max/median task time on 64/64 —
+    round-6 partition_skew probe), while the raw key spreads binomially
+    (~1.05x). Logical grouping for the file-per-partition sink is
+    restored by a cheap blob-free re-cluster at write time
+    (lineage.run_with_lineage).
     """
     if salt_buckets > 1:
         key = F.xxhash64(F.col("url"), F.pmod(F.xxhash64(F.col("warc_ts")), F.lit(salt_buckets)))
@@ -48,7 +55,7 @@ def salted_pages(
     tagged = pages.withColumn(
         "partition_id", F.pmod(key, F.lit(num_partitions)).cast("int")
     )
-    return tagged.repartition(num_partitions, F.col("partition_id"))
+    return tagged.repartition(num_partitions, key)
 
 
 def run_extraction(

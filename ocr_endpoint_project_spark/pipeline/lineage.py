@@ -143,7 +143,16 @@ def run_with_lineage(
     started_at = datetime.now(timezone.utc)  # before the data write
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
-        extracted.write.mode("overwrite")
+        # re-cluster by the LOGICAL id so the dynamic-overwrite sink
+        # writes one file set per partition_id (extraction tasks are
+        # physically spread by the raw url hash for balance — see
+        # extract.salted_pages). Rows here are blob-free (html was
+        # projected away in the kernel), so this exchange moves ~10% of
+        # the input bytes; a write-stage exchange keyed on P distinct
+        # values is birthday-lumpy, which is acceptable for pure IO
+        # tasks but must never sit in front of the extraction kernel.
+        extracted.repartition(num_partitions, F.col("partition_id"))
+        .write.mode("overwrite")
         .partitionBy("partition_id")
         .parquet(extracted_dir)
     )

@@ -27,10 +27,12 @@ from ..extraction_core.png_stub import make_jpeg_glyph_scan, make_png_glyph_scan
 # stale cache can never masquerade as the current generator.
 # v2 (round 5): all scan PNGs are glyph rasters (incl. Arabic/accented);
 # 25% of PDFs are SCANNED (image-XObject raster pages through glyph OCR).
-# v3 (round 6): a third of the scan leg renders as baseline JPEG
+# v4 (round 6): a third of the scan leg renders as baseline JPEG
 # (jpeg_pixels DCT codec) — the reference's jpg/jpeg upload path
-# (cv_api/main.py:38-40) exercised through real lossy entropy decode.
-CORPUS_VERSION = 3
+# (cv_api/main.py:38-40) exercised through real lossy entropy decode;
+# JPEG docs capped at 2 pages (scanned-letter shape — see render_jpeg).
+# (v3 existed briefly with uncapped JPEG pages; never committed.)
+CORPUS_VERSION = 4
 
 EN_WORDS = (
     "data system pipeline content page extract crawl table spark batch "
@@ -229,12 +231,20 @@ def render_png(blocks: list[tuple[str, str]]) -> tuple[bytes, str]:
     return make_png_glyph_scan(page_texts), golden
 
 
-def render_jpeg(blocks: list[tuple[str, str]]) -> tuple[bytes, str]:
+def render_jpeg(blocks: list[tuple[str, str]], max_pages: int = 2) -> tuple[bytes, str]:
     """Scan pages as a baseline JPEG of the same glyph-raster layout as
     :func:`render_png` — lossy DCT carriage whose ``Q_SCAN`` error bound
     guarantees exact re-binarization, so the OCR byte-identity oracle
-    holds through a genuinely lossy codec."""
-    paragraphs = blocks_to_pdf_paragraphs(blocks)
+    holds through a genuinely lossy codec.
+
+    JPEG docs are deliberately SHORT (``max_pages``, scanned-letter
+    shape): the md5-derived glyph rasters are noise-like, so their
+    entropy streams are dense (~1 nonzero AC coefficient per ink pixel),
+    and the stdlib Huffman decoder pays ~0.5 us/coefficient — a
+    multi-page raster would cost ~0.5 s/doc, which benchmarks the
+    sandbox's lack of libjpeg-turbo rather than the pipeline. Golden
+    text covers exactly the rendered pages."""
+    paragraphs = blocks_to_pdf_paragraphs(blocks)[:max_pages]
     page_texts = ["\n".join(lines) for lines in paragraphs]
     golden = "\n\n".join(page_texts).strip()
     return make_jpeg_glyph_scan(page_texts), golden
