@@ -39,6 +39,7 @@ _MODULES = (
 _DRIVER_FIRST = (
     "ocr_jpeg_roundtrip",        # new r6
     "sections_leaf_accuracy",    # new r6
+    "web_warc_dir_roundtrip",    # new r6
     "web_warc_roundtrip",        # r5, driver-checked once — keep fresh
     "media_audio_dsp",
     "media_video_frame_decode",

@@ -589,6 +589,104 @@ def q_warc_roundtrip(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# WARC DIRECTORY round-trip (round 6): the multi-file crawl-drop shape.
+# The documents table is staged as a directory of .warc.gz segment
+# files (each extraction task writes its partition as one segment —
+# executor-side, no driver loop), then read back through
+# sources.pages.pages_from_warc_dir (binaryFile scan -> per-segment
+# tolerant parse) and joined against the expected payloads. This gates
+# the exact path a real Common-Crawl prefix would take.
+# ---------------------------------------------------------------------------
+
+
+def _warc_dir_stage(spark, sf_dir, n_segments: int = 8) -> str:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_warc_dir_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage, exist_ok=True)
+
+    def _write(it):
+        from datetime import datetime, timedelta, timezone
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        from ..sources.warc import write_warc
+
+        epoch = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        recs = []
+        for batch in it:
+            for did, text in zip(batch["doc_id"], batch["text"]):
+                did = int(did)
+                recs.append(
+                    (
+                        f"https://warc.example/doc/{did}",
+                        epoch + timedelta(seconds=did),
+                        str(text).encode("utf-8"),
+                        "text/html",
+                    )
+                )
+        pid = TaskContext.get().partitionId()
+        if recs:
+            blob = write_warc(recs, gzip_members=True)
+            with open(os.path.join(stage, f"part-{pid:05d}.warc.gz"), "wb") as f:
+                f.write(blob)
+        yield pd.DataFrame({"n": [len(recs)]})
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    staged = (
+        docs.repartition(n_segments, F.pmod(F.col("doc_id"), F.lit(n_segments)))
+        .mapInPandas(_write, "n long")
+    )
+    staged.agg(F.sum("n")).collect()  # action: stage completes before the read
+    return stage
+
+
+def q_warc_dir_roundtrip(spark, sf_dir):
+    from ..sources.pages import pages_from_warc_dir
+
+    stage = _warc_dir_stage(spark, sf_dir)
+    pages = pages_from_warc_dir(spark, stage).select(
+        "url",
+        F.col("warc_ts").alias("got_ts"),
+        F.col("html").alias("got_body"),
+    )
+    expected = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("https://warc.example/doc/"), F.col("doc_id")).alias("url"),
+        F.col("text").cast("binary").alias("exp_body"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("doc_id"))
+        ).alias("exp_ts"),
+    )
+    return (
+        expected.join(pages, "url", "left")
+        .select(
+            "doc_id",
+            F.col("got_body").isNotNull().alias("found"),
+            (F.col("got_body") == F.col("exp_body")).alias("body_identical"),
+            (
+                F.unix_timestamp("got_ts") == F.unix_timestamp("exp_ts")
+            ).alias("ts_match"),
+        )
+    )
+
+
+SQL_WARC_DIR_ROUNDTRIP = """
+SELECT doc_id, TRUE AS found, TRUE AS body_identical, TRUE AS ts_match
+FROM documents
+"""
+
+
 SQL_WARC_ROUNDTRIP = """
 SELECT doc_id,
        CAST(2 AS BIGINT) AS n_records,
@@ -602,6 +700,7 @@ FROM documents
 QUERIES = {
     "extract_roundtrip": q_extract_roundtrip,
     "web_warc_roundtrip": q_warc_roundtrip,
+    "web_warc_dir_roundtrip": q_warc_dir_roundtrip,
     "sections_parse": q_sections_parse,
     "json_recovery": q_json_recovery,
     "word_metrics_kernel": q_word_metrics_kernel,
@@ -671,6 +770,7 @@ FROM strs
 ORACLES = {
     "extract_roundtrip": SQL_EXTRACT_ROUNDTRIP,
     "web_warc_roundtrip": SQL_WARC_ROUNDTRIP,
+    "web_warc_dir_roundtrip": SQL_WARC_DIR_ROUNDTRIP,
     "sections_parse": SQL_SECTIONS_PARSE,
     "json_recovery": SQL_JSON_RECOVERY,
     "word_metrics_kernel": SQL_WORD_METRICS,

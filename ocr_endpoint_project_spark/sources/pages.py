@@ -99,7 +99,9 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pages_from_warc_blobs(blobs: DataFrame, blob_col: str = "warc") -> DataFrame:
+def pages_from_warc_blobs(
+    blobs: DataFrame, blob_col: str = "warc", tolerant: bool = False
+) -> DataFrame:
     """WARC segment blobs -> pages DataFrame (round 5).
 
     Input: a DataFrame with one ``.warc``/``.warc.gz`` segment's bytes
@@ -119,7 +121,9 @@ def pages_from_warc_blobs(blobs: DataFrame, blob_col: str = "warc") -> DataFrame
         for batch in it:
             out = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
             for blob in batch[blob_col]:
-                for url, ts, body, lang in pages_rows_from_warc(bytes(blob)):
+                for url, ts, body, lang in pages_rows_from_warc(
+                    bytes(blob), tolerant=tolerant
+                ):
                     out["url"].append(url)
                     out["warc_ts"].append(ts)
                     out["html"].append(body)
@@ -128,3 +132,31 @@ def pages_from_warc_blobs(blobs: DataFrame, blob_col: str = "warc") -> DataFrame
             yield pd.DataFrame(out)
 
     return blobs.mapInPandas(_parse, PAGES_SCHEMA)
+
+
+def pages_from_warc_dir(
+    spark: SparkSession, path: str, glob: str = "*.warc.gz", tolerant: bool = True
+) -> DataFrame:
+    """A directory (or object-store prefix) of WARC segments -> pages.
+
+    This is the shape a real Common-Crawl drop has: thousands of
+    ``.warc.gz`` segment files under one prefix. Spark's ``binaryFile``
+    source lists the tree and spreads ONE FILE PER ROW across executors
+    (no driver listing loop, so a 10^5-segment crawl fans out exactly
+    like any other scan); each segment then parses independently via
+    :func:`pages_from_warc_blobs` — embarrassingly parallel, zero
+    shuffle before the extraction exchange.
+
+    ``tolerant=True`` (the crawl default) makes a damaged segment
+    degrade to its intact record prefix instead of failing the job —
+    real crawl tails contain truncated members (the reference's
+    one-file-at-a-time upload path quarantines bad files the same way,
+    cv_api/main.py:322-348; here the unit is the segment).
+    """
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select(F.col("content").alias("warc"))
+    )
+    return pages_from_warc_blobs(blobs, tolerant=tolerant)

@@ -73,44 +73,66 @@ def write_warc(
     return bytes(out)
 
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Concatenated gzip members -> concatenated plain bytes."""
+def _gunzip_members(data: bytes, tolerant: bool = False) -> bytes:
+    """Concatenated gzip members -> concatenated plain bytes.
+
+    ``tolerant=True`` keeps the complete members before a truncated or
+    corrupt one instead of raising — partial output from the broken
+    member is DISCARDED (it would be a half record; the record walk has
+    no way to resynchronize inside a cut deflate stream)."""
     out = bytearray()
     rest = data
     while rest:
         d = zlib.decompressobj(31)
-        out += d.decompress(rest)
-        out += d.flush()
+        try:
+            member = d.decompress(rest) + d.flush()
+        except zlib.error:
+            if tolerant:
+                return bytes(out)
+            raise ValueError("corrupt gzip member in WARC") from None
         if not d.eof:
+            if tolerant:
+                return bytes(out)
             raise ValueError("truncated gzip member in WARC")
+        out += member
         rest = d.unused_data
     return bytes(out)
 
 
-def parse_warc(data: bytes) -> list[dict]:
+def parse_warc(data: bytes, tolerant: bool = False) -> list[dict]:
     """WARC bytes (plain or per-record gzip) -> list of record dicts
-    with keys url, date, warc_type, http_status, content_type, body."""
+    with keys url, date, warc_type, http_status, content_type, body.
+
+    ``tolerant=True`` is the multi-segment crawl-read mode: a framing
+    error (bad magic, cut header, short body) ends the walk and returns
+    the records parsed so far — one damaged segment degrades to its
+    intact prefix instead of failing the whole job."""
     if data[:2] == b"\x1f\x8b":
-        data = _gunzip_members(data)
+        data = _gunzip_members(data, tolerant=tolerant)
     records: list[dict] = []
     pos, n = 0, len(data)
     while pos < n:
-        if data[pos : pos + 5] != b"WARC/":
-            raise ValueError(f"bad WARC record header at offset {pos}")
-        hdr_end = data.find(_CRLF + _CRLF, pos)
-        if hdr_end == -1:
-            raise ValueError("unterminated WARC header block")
-        headers: dict[str, str] = {}
-        for line in data[pos:hdr_end].split(_CRLF)[1:]:
-            k, _, v = line.decode("utf-8", "replace").partition(":")
-            headers[k.strip().lower()] = v.strip()
-        length_hdr = headers.get("content-length")
-        if length_hdr is None:
-            raise ValueError(f"WARC record at offset {pos} missing Content-Length")
-        length = int(length_hdr)
-        block = data[hdr_end + 4 : hdr_end + 4 + length]
-        if len(block) < length:
-            raise ValueError("truncated WARC record body")
+        try:
+            if data[pos : pos + 5] != b"WARC/":
+                raise ValueError(f"bad WARC record header at offset {pos}")
+            hdr_end = data.find(_CRLF + _CRLF, pos)
+            if hdr_end == -1:
+                raise ValueError("unterminated WARC header block")
+            headers: dict[str, str] = {}
+            for line in data[pos:hdr_end].split(_CRLF)[1:]:
+                k, _, v = line.decode("utf-8", "replace").partition(":")
+                headers[k.strip().lower()] = v.strip()
+            length_hdr = headers.get("content-length")
+            if length_hdr is None:
+                raise ValueError(f"WARC record at offset {pos} missing Content-Length")
+            length = int(length_hdr)
+            block = data[hdr_end + 4 : hdr_end + 4 + length]
+            if len(block) < length:
+                raise ValueError("truncated WARC record body")
+        except ValueError:
+            if tolerant:
+                break
+            raise
         pos = hdr_end + 4 + length
         if data[pos : pos + 4] == _CRLF + _CRLF:
             pos += 4
@@ -140,12 +162,12 @@ def parse_warc(data: bytes) -> list[dict]:
     return records
 
 
-def pages_rows_from_warc(data: bytes) -> list[tuple]:
+def pages_rows_from_warc(data: bytes, tolerant: bool = False) -> list[tuple]:
     """WARC bytes -> (url, warc_ts, html, lang) rows of the pages schema.
     Non-response records and non-200 responses are skipped (the crawl
     hygiene rule); lang is left None for the language-ID operator."""
     rows = []
-    for rec in parse_warc(data):
+    for rec in parse_warc(data, tolerant=tolerant):
         if rec["warc_type"] != "response" or rec["http_status"] != 200:
             continue
         ts = None

@@ -318,3 +318,42 @@ def test_pages_from_warc_blobs_feeds_extraction(spark):
     for url, row in got.items():
         assert row["status"] == "succeeded"
         assert row["extracted_text"] == golden[url], url
+
+
+def test_pages_from_warc_dir_tolerates_truncated_segment(spark, tmp_path):
+    """A directory of .warc.gz segments (the Common-Crawl drop shape)
+    reads end-to-end through the binaryFile source; a truncated segment
+    degrades to its intact record prefix — never a job failure."""
+    from datetime import datetime, timezone
+
+    from ocr_endpoint_project_spark.sources.pages import pages_from_warc_dir
+    from ocr_endpoint_project_spark.sources.warc import parse_warc, write_warc
+
+    dt = datetime(2024, 3, 1, tzinfo=timezone.utc)
+    def seg(tag, n):
+        recs = [(f"https://{tag}.example/p/{i}", dt, f"<p>{tag} {i}</p>".encode(),
+                 "text/html") for i in range(n)]
+        return write_warc(recs, gzip_members=True)
+
+    (tmp_path / "seg-a.warc.gz").write_bytes(seg("a", 4))
+    (tmp_path / "seg-b.warc.gz").write_bytes(seg("b", 3))
+    # segment c: cut mid-way through the THIRD gzip member — the two
+    # complete members before the cut must survive
+    c = seg("c", 3)
+    member2_end = len(seg("c", 3)[: len(seg("c", 2))])
+    (tmp_path / "seg-c.warc.gz").write_bytes(c[: member2_end + 40])
+    # a non-WARC file that the glob must skip entirely
+    (tmp_path / "manifest.txt").write_bytes(b"not a warc")
+
+    # strict parse of the cut blob raises; tolerant returns the prefix
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        parse_warc(c[: member2_end + 40])
+    assert len(parse_warc(c[: member2_end + 40], tolerant=True)) == 2
+
+    pages = pages_from_warc_dir(spark, str(tmp_path))
+    rows = {r["url"]: bytes(r["html"]) for r in pages.collect()}
+    assert len(rows) == 4 + 3 + 2
+    assert rows["https://a.example/p/0"] == b"<p>a 0</p>"
+    assert rows["https://c.example/p/1"] == b"<p>c 1</p>"
+    assert "https://c.example/p/2" not in rows
