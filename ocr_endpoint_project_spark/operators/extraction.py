@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions.kernels import (
     json_recover_udf,
+    leaf_accuracy_udf,
     parse_sections,
     section_record_udf,
     token_wer_udf,
@@ -687,6 +688,91 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Structured-stage leaf accuracy (M8-M10 through the REAL parse path,
+# round 6): two "parser models" as a column — the structured segmenter on
+# clean resume text vs the same segmenter on a deterministically corrupted
+# feed (wrong LOCATION every 3rd doc, mangled ABOUT every 5th) — each
+# scored by nested-JSON leaf accuracy against the golden record
+# (pages/llm_parsing_benchmark.py:317-350 semantics: flatten golden
+# leaves, normalize, % matched at the same path). The corruption schedule
+# makes per-doc accuracy EXACT: matches is an integer 0..3, so the oracle
+# reproduces the float division bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _resume_text(name, location, about):
+    return F.concat(
+        F.lit("NAME: "), name,
+        F.lit("\nLOCATION: "), location,
+        F.lit("\nABOUT\n"), about,
+    )
+
+
+def q_sections_leaf_accuracy(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text", "lang")
+    name = F.concat(F.lit("Doc "), F.col("doc_id"))
+    # one lowercased line: an all-caps-shaped line inside the about body
+    # would legitimately open a new section (the header heuristic the
+    # reference's layout_accuracy uses) and break the exact-match oracle
+    # "~ " sentinel: the line must not START with a scalar key
+    # ("name:" etc.) — resume-shaped document text would otherwise be
+    # captured by the grammar's case-insensitive scalar-line rule
+    about = F.concat(
+        F.lit("~ "), F.lower(F.regexp_replace(F.col("text"), r"(?U)\s+", " "))
+    )
+    golden_json = F.to_json(
+        F.struct(
+            name.alias("name"),
+            F.col("source").alias("location"),
+            about.alias("about"),
+        )
+    )
+    bad_loc = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(F.col("source"), F.lit(" xx"))
+    ).otherwise(F.col("source"))
+    bad_about = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.lit("zz "), about)
+    ).otherwise(about)
+    variants = docs.select(
+        "doc_id",
+        golden_json.alias("golden_json"),
+        _resume_text(name, F.col("source"), about).alias("structured"),
+        _resume_text(name, bad_loc, bad_about).alias("raw_text"),
+    ).unpivot(
+        ["doc_id", "golden_json"], ["structured", "raw_text"],
+        "model_name", "resume_text",
+    )
+    parsed = parse_sections(variants, text_col="resume_text", out_col="record")
+    return parsed.select(
+        "doc_id",
+        "model_name",
+        r4(
+            leaf_accuracy_udf(F.to_json(F.col("record")), F.col("golden_json"))
+        ).alias("leaf_accuracy_pct"),
+        F.lit(3).cast("bigint").alias("n_gt_leaves"),
+    )
+
+
+SQL_SECTIONS_LEAF_ACCURACY = f"""
+WITH m AS (
+  SELECT doc_id,
+         3 - (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+           - (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS mt
+  FROM documents
+)
+SELECT doc_id, 'structured' AS model_name,
+       {sql_r4('100.0 * 3 / 3')} AS leaf_accuracy_pct,
+       CAST(3 AS BIGINT) AS n_gt_leaves
+FROM m
+UNION ALL
+SELECT doc_id, 'raw_text' AS model_name,
+       {sql_r4('100.0 * mt / 3')} AS leaf_accuracy_pct,
+       CAST(3 AS BIGINT) AS n_gt_leaves
+FROM m
+"""
+
+
 SQL_WARC_ROUNDTRIP = """
 SELECT doc_id,
        CAST(2 AS BIGINT) AS n_records,
@@ -701,6 +787,7 @@ QUERIES = {
     "extract_roundtrip": q_extract_roundtrip,
     "web_warc_roundtrip": q_warc_roundtrip,
     "web_warc_dir_roundtrip": q_warc_dir_roundtrip,
+    "sections_leaf_accuracy": q_sections_leaf_accuracy,
     "sections_parse": q_sections_parse,
     "json_recovery": q_json_recovery,
     "word_metrics_kernel": q_word_metrics_kernel,
@@ -771,6 +858,7 @@ ORACLES = {
     "extract_roundtrip": SQL_EXTRACT_ROUNDTRIP,
     "web_warc_roundtrip": SQL_WARC_ROUNDTRIP,
     "web_warc_dir_roundtrip": SQL_WARC_DIR_ROUNDTRIP,
+    "sections_leaf_accuracy": SQL_SECTIONS_LEAF_ACCURACY,
     "sections_parse": SQL_SECTIONS_PARSE,
     "json_recovery": SQL_JSON_RECOVERY,
     "word_metrics_kernel": SQL_WORD_METRICS,

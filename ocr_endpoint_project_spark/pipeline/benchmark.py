@@ -107,6 +107,78 @@ def run_model_benchmark(pages: DataFrame, num_partitions: int = 32) -> DataFrame
     )
 
 
+def run_parsing_benchmark(pages: DataFrame, num_partitions: int = 16) -> DataFrame:
+    """Structured-stage twin of :func:`run_model_benchmark` (M8-M10).
+
+    The reference's LLM-parsing benchmark scores each model's nested
+    JSON against golden leaves (``pages/parallel_llm_parsing_test.py:
+    280-288``, leaf semantics ``pages/llm_parsing_benchmark.py:317-350``).
+    Here the model axis is again a column: ``structured`` parses a clean
+    resume rendering of the page, ``raw_text`` parses a
+    whitespace-collapsed rendering (section headers destroyed — the
+    no-layout baseline), and both are scored by ``leaf_accuracy_udf``
+    against the golden record built from the same fields.
+    """
+    from ..functions.kernels import leaf_accuracy_udf, parse_sections
+
+    name = F.concat(F.lit("Page "), F.substring(F.sha1(F.col("url")), 1, 8))
+    # about rides as ONE LOWERCASED line: corpus text contains
+    # heading-shaped content the resume grammar would legitimately
+    # segment (an all-caps word inside an otherwise-uncased Arabic line
+    # makes the whole line isupper() == a header), and this benchmark
+    # scores the MODELS, not the page's accidental resemblance to a CV.
+    # (?U): Java \s is ASCII-only by default; Unicode class keeps parity
+    # with the Python-side splitlines boundaries.
+    # the "~ " sentinel keeps the line from STARTING with a scalar key
+    # ("name:", "location:", ...) — the corpus contains resume-shaped
+    # documents whose own grammar would otherwise capture the line
+    about = F.concat(
+        F.lit("~ "), F.lower(F.regexp_replace(F.col("text"), r"(?U)\s+", " "))
+    )
+    golden_json = F.to_json(
+        F.struct(
+            name.alias("name"),
+            F.col("lang").alias("location"),
+            about.alias("about"),
+        )
+    )
+    resume = F.concat(
+        F.lit("NAME: "), name,
+        F.lit("\nLOCATION: "), F.col("lang"),
+        F.lit("\nABOUT\n"), about,
+    )
+    variants = (
+        pages.select(
+            "url",
+            golden_json.alias("golden_json"),
+            resume.alias("structured"),
+            # collapse ALL whitespace: the segmenter needs line-anchored
+            # headers, so this model's location/about leaves go null
+            F.regexp_replace(resume, r"\s+", " ").alias("raw_text"),
+        )
+        .repartition(num_partitions)
+        .unpivot(["url", "golden_json"], ["structured", "raw_text"],
+                 "model_name", "resume_text")
+    )
+    parsed = parse_sections(variants, text_col="resume_text", out_col="record")
+    return parsed.select(
+        "url",
+        "model_name",
+        leaf_accuracy_udf(
+            F.to_json(F.col("record")), F.col("golden_json")
+        ).alias("leaf_accuracy_pct"),
+    )
+
+
+def per_model_parsing_summary(parsing_results: DataFrame) -> DataFrame:
+    """Per-model rollup of the structured stage — the row the decision
+    report shows next to the OCR metrics."""
+    return parsing_results.groupBy("model_name").agg(
+        F.avg("leaf_accuracy_pct").alias("avg_leaf_accuracy_pct"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
 def per_model_summary(results: DataFrame) -> DataFrame:
     """A1/A2: error-masked per-model means (pages/parallel_ocr_test.py:211-228)."""
     ok = results.filter(

@@ -198,6 +198,27 @@ def decision_report(spark, sf_dir: str, out_path: str) -> str:
         f"**OCR winner: {ocr_winner['model_name']}** — decision score "
         f"{ocr_winner['decision_score']:.4f} over {ocr_winner['n_docs']} documents.",
         "",
+        "## Structured parsing — nested-leaf accuracy (M8–M10)",
+        "",
+        "_% of golden record leaves each parser model reproduces at the",
+        "same path (pages/llm_parsing_benchmark.py:317-350 semantics),",
+        "through the real segment→from_json stage._",
+        "",
+        "| model | avg_leaf_accuracy_pct | n_docs |",
+        "|---|---|---|",
+    ]
+    from ..pipeline.benchmark import per_model_parsing_summary, run_parsing_benchmark
+
+    parse_rows = per_model_parsing_summary(
+        run_parsing_benchmark(pages_from_documents(spark, sf_dir), num_partitions=16)
+    ).collect()
+    parse_rows.sort(key=lambda r: -r["avg_leaf_accuracy_pct"])
+    for r in parse_rows:
+        lines.append(
+            f"| {r['model_name']} | {r['avg_leaf_accuracy_pct']:.4f} | {r['n_docs']} |"
+        )
+    lines += [
+        "",
         "## Reliability — success rate by user (top 10 by volume)",
         "",
         "| user_id | runs | errors | success_rate_pct |",

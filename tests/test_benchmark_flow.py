@@ -114,3 +114,34 @@ def test_ocr_decision_scores_weights_and_ties(spark):
     assert (g["s_cost"], b["s_cost"]) == (1.0, 1.0)
     assert g["decision_score"] == round(0.35 + 0.25 + 0.20 + 0.0 + 0.10, 4)
     assert b["decision_score"] == round(0.10 + 0.10, 4)
+
+
+def test_parsing_benchmark_leaf_accuracy_rollup(spark):
+    """M8–M10 through the real parse stage: the structured model
+    reproduces every golden leaf; the whitespace-collapsed baseline
+    loses the line-anchored sections and scores strictly lower."""
+    from ocr_endpoint_project_spark.pipeline.benchmark import (
+        per_model_parsing_summary,
+        run_parsing_benchmark,
+    )
+
+    pages = corpus_pages(spark, n=40, seed=7).filter(F.col("text") != "")
+    n_pages = pages.count()
+    results = run_parsing_benchmark(pages, num_partitions=4).cache()
+    assert results.count() == 2 * n_pages
+
+    by_model = {
+        r["model_name"]: r for r in per_model_parsing_summary(results).collect()
+    }
+    assert by_model["structured"]["avg_leaf_accuracy_pct"] == 100.0
+    assert by_model["raw_text"]["avg_leaf_accuracy_pct"] < 100.0
+    assert by_model["raw_text"]["n_docs"] == n_pages
+    results.unpersist()
+
+
+def test_decision_report_has_parsing_section(spark, tmp_path):
+    from ocr_endpoint_project_spark.pipeline.export import decision_report
+
+    text = decision_report(spark, "/root/testdata/sf0.001", str(tmp_path / "r.md"))
+    assert "## Structured parsing — nested-leaf accuracy" in text
+    assert "| structured | 100.0000 |" in text
