@@ -459,18 +459,42 @@ def _cluster_lines(spans: list[tuple[float, float, float, str]]):
 
 
 def _line_text(line: dict) -> str:
-    """Join a line's spans in reading order.
+    """Join a line's spans in reading order — two-level bidi (round 6).
 
     ``line["spans"]`` is x-ASCENDING by construction (_cluster_lines
-    sorts each baseline group by x before splitting runs), so LTR needs
-    no re-sort and RTL is the stable sort by -x. NOTE: reversal is NOT
-    equivalent to sorting by -x when two spans share an x (stable sort
-    preserves their order; reversal would swap them), so RTL keeps the
-    explicit sort."""
+    sorts each baseline group by x before splitting runs). Ordering is
+    the UAX#9-shaped two-level rule:
+
+    * line BASE direction = majority script of the whole line
+      (:func:`is_rtl_text`);
+    * spans partition into maximal same-direction RUNS (per-span
+      majority script; a span with no letters is NEUTRAL and takes the
+      base direction — so an all-Arabic line with digit spans stays one
+      RTL run, byte-identical to the pre-r6 behavior);
+    * runs are read base-first: x-ascending for an LTR base,
+      x-descending for an RTL base;
+    * WITHIN a run, spans read in the run's own direction — an Arabic
+      phrase embedded in a Latin line reads right-to-left, a Latin token
+      embedded in an Arabic line reads left-to-right (the mixed-line
+      case the reference's Arabic CVs hit, DATABASE.md:74-80).
+
+    NOTE: RTL ordering is the explicit stable sort by -x, NOT reversal —
+    two spans sharing an x must keep their stable order."""
     spans = line["spans"]
-    rtl = is_rtl_text("".join(t for _, t in spans))
-    ordered = sorted(spans, key=lambda s: -s[0]) if rtl else spans
-    return " ".join(t for _, t in ordered if t)
+    base_rtl = is_rtl_text("".join(t for _, t in spans))
+    runs: list[tuple[bool, list]] = []
+    for x, t in spans:
+        d = is_rtl_text(t) if any(c.isalpha() for c in t) else base_rtl
+        if runs and runs[-1][0] == d:
+            runs[-1][1].append((x, t))
+        else:
+            runs.append((d, [(x, t)]))
+    if base_rtl:
+        runs.reverse()
+    out: list[tuple[float, str]] = []
+    for d, run in runs:
+        out.extend(sorted(run, key=lambda s: -s[0]) if d else run)
+    return " ".join(t for _, t in out if t)
 
 
 def _detect_columns(lines: list[dict]) -> list[list[dict]]:

@@ -357,3 +357,33 @@ def test_pages_from_warc_dir_tolerates_truncated_segment(spark, tmp_path):
     assert rows["https://a.example/p/0"] == b"<p>a 0</p>"
     assert rows["https://c.example/p/1"] == b"<p>c 1</p>"
     assert "https://c.example/p/2" not in rows
+
+
+def test_pdf_mixed_direction_lines_two_level_order():
+    """Two-level bidi (round 6): an LTR token run embedded in an
+    Arabic-base line reads left-to-right inside the RTL line, and an
+    Arabic run embedded in a Latin-base line reads right-to-left."""
+    # RTL base: logical "سلام عليكم hello world بيانات";
+    # physically the first logical word sits at the LARGEST x, while the
+    # embedded Latin pair keeps ascending x inside its run
+    rtl_line = [
+        TextSpan(500, 700, "سلام"),
+        TextSpan(430, 700, "عليكم"),
+        TextSpan(300, 700, "hello"),
+        TextSpan(360, 700, "world"),
+        TextSpan(200, 700, "بيانات"),
+    ]
+    # LTR base: logical "report for قسم البيانات team"; the embedded
+    # Arabic pair reads right-to-left inside its run
+    ltr_line = [
+        TextSpan(50, 686, "report"),
+        TextSpan(110, 686, "for"),
+        TextSpan(200, 686, "قسم"),
+        TextSpan(150, 686, "البيانات"),
+        TextSpan(260, 686, "team"),
+    ]
+    pdf = make_pdf([rtl_line + ltr_line], compress=True)
+    text, _, _ = extract_pdf(pdf)
+    assert text == (
+        "سلام عليكم hello world بيانات\nreport for قسم البيانات team"
+    )
