@@ -201,10 +201,57 @@ def layout_paragraphs(
             ]
             pieces = [p for p in pieces if p]
             x0 = col_xs[col]
+            line_rtl = rtl and is_rtl_text(line)
+            mixed = line_rtl and any(
+                not is_rtl_text(w) for w in words if any(c.isalpha() for c in w)
+            )
+            if mixed:
+                # mixed-direction RTL line (round 6): spans are DIRECTION
+                # RUNS placed right-to-left in logical order, and an
+                # embedded LTR run of >= 2 words splits into two spans
+                # laid x-ASCENDING inside the run's slot block — the
+                # physical layout a bidi renderer produces, which the
+                # extractor's two-level rule must read back logically
+                runs: list[tuple[bool, list[str]]] = []
+                for w in words:
+                    d = is_rtl_text(w) if any(c.isalpha() for c in w) else True
+                    if runs and runs[-1][0] == d:
+                        runs[-1][1].append(w)
+                    else:
+                        runs.append((d, [w]))
+                span_txt: list[tuple[bool, str]] = []
+                for d, ws in runs:
+                    if not d and len(ws) >= 2:
+                        half = len(ws) // 2
+                        span_txt.append((False, " ".join(ws[:half])))
+                        span_txt.append((False, " ".join(ws[half:])))
+                    else:
+                        span_txt.append((d, " ".join(ws)))
+                n = len(span_txt)
+                step = 180.0 / n
+                c = i = 0
+                while i < n:
+                    if span_txt[i][0]:
+                        x = x0 + 180.0 - (c + 1) * step
+                        cur.append(TextSpan(x=x, y=y, text=span_txt[i][1], size=size))
+                        c += 1
+                        i += 1
+                    else:
+                        k = 1
+                        while i + k < n and not span_txt[i + k][0]:
+                            k += 1
+                        for j in range(k):
+                            x = x0 + 180.0 - (c + k - j) * step
+                            cur.append(
+                                TextSpan(x=x, y=y, text=span_txt[i + j][1], size=size)
+                            )
+                        c += k
+                        i += k
+                first_line = False
+                continue
             # span steps stay < COL_SPLIT_GAP (120) so within-line gaps are
             # never mistaken for column gaps by the extractor
             step = 180.0 / max(1, len(pieces))
-            line_rtl = rtl and is_rtl_text(line)
             for i, piece in enumerate(pieces):
                 if line_rtl:
                     x = x0 + 180.0 - (i + 1) * step

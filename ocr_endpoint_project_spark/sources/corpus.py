@@ -15,6 +15,7 @@ is genuinely exercised, per SURVEY.md §7 risk 5.
 
 from __future__ import annotations
 
+import hashlib
 import random
 from dataclasses import dataclass
 from datetime import datetime, timedelta, timezone
@@ -32,7 +33,9 @@ from ..extraction_core.png_stub import make_jpeg_glyph_scan, make_png_glyph_scan
 # (cv_api/main.py:38-40) exercised through real lossy entropy decode;
 # JPEG docs capped at 2 pages (scanned-letter shape — see render_jpeg).
 # (v3 existed briefly with uncapped JPEG pages; never committed.)
-CORPUS_VERSION = 4
+# v5 (round 6): ~30% of Arabic paragraphs embed a 1-2 token Latin run
+# (mixed-direction lines — the two-level bidi reading-order case).
+CORPUS_VERSION = 5
 
 EN_WORDS = (
     "data system pipeline content page extract crawl table spark batch "
@@ -84,6 +87,23 @@ def _paragraph(rng: random.Random, words: list[str]) -> str:
     )
 
 
+def _inject_latin_run(paragraph: str) -> str:
+    """~30% of Arabic paragraphs gain an embedded 1-2 token Latin run
+    (product names, acronyms — the mixed-direction lines the reference's
+    Arabic CVs contain, DATABASE.md:74-80). Deterministic from the
+    paragraph CONTENT (md5), not the generator rng, so the draw stream
+    feeding every other document is untouched."""
+    h = hashlib.md5(paragraph.encode("utf-8")).digest()
+    if h[0] % 10 >= 3:
+        return paragraph
+    words = paragraph.split(" ")
+    if len(words) < 4:
+        return paragraph
+    pos = 1 + h[1] % (len(words) - 2)
+    toks = [EN_WORDS[h[2 + i] % len(EN_WORDS)] for i in range(1 + h[4] % 2)]
+    return " ".join(words[:pos] + toks + words[pos:])
+
+
 def _content_blocks(
     rng: random.Random, lang: str, richness: int = 1
 ) -> list[tuple[str, str]]:
@@ -99,7 +119,10 @@ def _content_blocks(
     for header in rng.sample(SECTION_HEADERS[lang], rng.randint(2, 4)):
         blocks.append(("heading", header))
         for _ in range(rng.randint(1, 3) * richness):
-            blocks.append(("paragraph", _paragraph(rng, words)))
+            para = _paragraph(rng, words)
+            if lang == "ar":
+                para = _inject_latin_run(para)
+            blocks.append(("paragraph", para))
     return blocks
 
 
