@@ -33,12 +33,22 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=256)
     ap.add_argument("--run-id", default="run-1")
     ap.add_argument("--quarantine", action="store_true", help="validate + quarantine first")
+    ap.add_argument(
+        "--sink",
+        choices=("parquet", "ice"),
+        default="parquet",
+        help="results store: plain parquet dirs, or the icetable snapshot "
+        "layer (sources/icetable.py — one snapshot per run, time travel)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
     from ocr_endpoint_project_spark.pipeline.ingest import validate_pages
-    from ocr_endpoint_project_spark.pipeline.lineage import run_with_lineage
+    from ocr_endpoint_project_spark.pipeline.lineage import (
+        run_with_lineage,
+        run_with_lineage_ice,
+    )
 
     spark = SparkSession.builder.appName(f"extract-{args.run_id}").getOrCreate()
     # bounded Arrow batches regardless of how the session was configured
@@ -49,7 +59,8 @@ def main() -> None:
         pages, quarantined = validate_pages(pages)
         quarantined.write.mode("overwrite").parquet(os.path.join(args.output, "quarantine"))
 
-    stats = run_with_lineage(
+    runner = run_with_lineage_ice if args.sink == "ice" else run_with_lineage
+    stats = runner(
         spark, pages, args.output, run_id=args.run_id, num_partitions=args.partitions
     )
     print(json.dumps(stats))

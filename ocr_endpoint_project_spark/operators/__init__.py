@@ -37,6 +37,8 @@ _MODULES = (
 # core keeps its coverage via the committed full-registry
 # CORRECTNESS_local_r{N}.json run every round.
 _DRIVER_FIRST = (
+    "ice_time_travel",           # new r6 (icetable snapshot layer)
+    "dedup_substring",           # new r6 (exact-substring dedup)
     "ocr_jpeg_roundtrip",        # new r6
     "sections_leaf_accuracy",    # new r6
     "web_warc_dir_roundtrip",    # new r6

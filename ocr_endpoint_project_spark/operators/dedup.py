@@ -25,6 +25,7 @@ from ..functions.text import (
     norm_tokens,
     r4,
     shingle_hash32,
+    sql_r4,
     word_ngrams,
 )
 
@@ -758,8 +759,145 @@ FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# exact-substring dedup (round 6): the "Deduplicating Training Data Makes
+# Language Models Better" (Lee et al., 2022) stage — repeated token
+# WINDOWS across the corpus are located exactly, and every occurrence
+# after the globally first is flagged with its token coverage.  The
+# reference has no counterpart (it is a single-node OCR bench); this is
+# part of the engine's training-data layer.
+#
+# Scale shape: windows are hashed per doc (map-side, no shuffle), the
+# repeated set comes from ONE map-side-combinable groupBy(h) min/count
+# agg, FILTERED to count > 1 before anything joins — so the join input
+# is only the repeated windows (boilerplate-sized, not corpus-sized),
+# and the classic hot window key is absorbed by the partial aggregates
+# exactly like q_dedup_paragraphs.  Token coverage per doc avoids
+# interval-merge logic: explode each dup window to its token positions
+# and count DISTINCT positions (overlaps collapse in the distinct).
+# ---------------------------------------------------------------------------
+
+SUB_L = 12  # window length in tokens (Lee et al. use 50 BPE tokens; the
+#             synthetic docs average ~54 words, so 12 keeps real overlap)
+
+
+def q_dedup_substring(spark, sf_dir):
+    toks = F.split(F.col("text"), " ")
+    nw = (F.size(toks) - F.lit(SUB_L) + 1).cast("long")
+    idx = F.when(nw > 0, F.sequence(F.lit(0).cast("long"), nw - 1)).otherwise(
+        F.array().cast("array<long>")
+    )
+    # 60-bit window key: md5 of the space-joined window, first 15 hex
+    # chars (the engine-parity int trick, functions/text.py:55 — DuckDB
+    # twin CAST('0x'||substr(md5(..),1,15) AS BIGINT))
+    wins_arr = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.slice(toks, (i + 1).cast("int"), SUB_L), " ")),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        ),
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.size(toks).cast("long").alias("n_tokens"), wins_arr.alias("wins")
+    )
+    wins = docs.select(
+        "doc_id", F.explode("wins").alias("w")
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    packed = F.when(
+        F.col("pos") < _PARA_POS_BASE,
+        F.col("doc_id") * _PARA_POS_BASE + F.col("pos"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("q_dedup_substring: pos >= _PARA_POS_BASE for doc_id "),
+                F.col("doc_id").cast("string"),
+            )
+        ).cast("long")
+    )
+    wins = wins.withColumn("k", packed)
+    rep = (
+        wins.groupBy("h")
+        .agg(F.min("k").alias("min_k"), F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .select("h", "min_k")
+    )
+    dups = wins.join(rep, "h").filter(F.col("k") > F.col("min_k"))
+    dup_tok = (
+        dups.select(
+            "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + SUB_L - 1)).alias("tp")
+        )
+        .groupBy("doc_id")
+        .agg(F.count_distinct("tp").alias("n_dup_tokens"))
+    )
+    dup_win = dups.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    return (
+        docs.select("doc_id", "n_tokens", F.size("wins").cast("long").alias("n_windows"))
+        .join(dup_win, "doc_id", "left")
+        .join(dup_tok, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
+            r4(
+                F.coalesce("n_dup_tokens", F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1))
+                * 100.0
+            ).alias("dup_token_pct"),
+        )
+    )
+
+
+SQL_DEDUP_SUBSTRING = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), w AS (
+  SELECT doc_id, i AS pos,
+         CAST(('0x' || substr(md5(array_to_string(t[i+1:i+{SUB_L}], ' ')), 1, 15))
+              AS BIGINT) AS h,
+         doc_id * {_PARA_POS_BASE} + i AS k
+  FROM toks,
+       unnest(CASE WHEN len(t) >= {SUB_L}
+                   THEN range(0, len(t) - {SUB_L} + 1) ELSE [] END) AS u(i)
+), rep AS (
+  SELECT h, min(k) AS min_k FROM w GROUP BY h HAVING count(*) > 1
+), dups AS (
+  SELECT w.doc_id, w.pos FROM w JOIN rep USING (h) WHERE w.k > rep.min_k
+), dup_tok AS (
+  SELECT doc_id, count(DISTINCT pos + j) AS n_dup_tokens
+  FROM dups, unnest(range(0, {SUB_L})) AS r(j) GROUP BY doc_id
+), dup_win AS (
+  SELECT doc_id, count(*) AS n_dup_windows FROM dups GROUP BY doc_id
+), base AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(greatest(len(t) - {SUB_L} + 1, 0) AS BIGINT) AS n_windows
+  FROM toks
+)
+SELECT b.doc_id, b.n_tokens, b.n_windows,
+       CAST(coalesce(dw.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CAST(coalesce(dt.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+       {sql_r4(f"coalesce(dt.n_dup_tokens, 0) / greatest(b.n_tokens, 1) * 100.0")}
+         AS dup_token_pct
+FROM base b
+LEFT JOIN dup_win dw ON b.doc_id = dw.doc_id
+LEFT JOIN dup_tok dt ON b.doc_id = dt.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_substring": q_dedup_substring,
     "dedup_paragraphs": q_dedup_paragraphs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_signature": q_minhash_signature,
@@ -771,6 +909,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_substring": SQL_DEDUP_SUBSTRING,
     "dedup_paragraphs": SQL_DEDUP_PARAGRAPHS,
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_minhash_signature": SQL_MINHASH_SIG,

@@ -783,8 +783,79 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Icetable snapshot isolation + time travel (round 6): the results-store
+# metadata layer (sources/icetable.py) exercised end-to-end — append a
+# snapshot, dynamically overwrite two partitions, then read BOTH states
+# (time travel to snapshot 1 vs the current snapshot) and roll each up.
+# The oracle reconstructs the two logical states straight from the
+# documents table, so a metadata-layer bug (wrong manifest kept, stale
+# file visible, overwrite leaking into the old snapshot) breaks the
+# value hash.
+# ---------------------------------------------------------------------------
+
+
+def q_ice_time_travel(spark, sf_dir):
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.icetable import IceTable
+
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("part"),
+        F.length("text").cast("long").alias("text_len"),
+    )
+    tdir = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_ice_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(tdir, ignore_errors=True)
+    t = IceTable.create(tdir, partition_col="part", stat_cols=["doc_id"])
+    s1 = t.append(base.repartition(8, "part"))
+    patch = base.filter(F.col("part").isin(1, 3)).withColumn(
+        "text_len", F.col("text_len") * 2
+    )
+    t.overwrite_partitions(patch.repartition(8, "part"))
+    old = t.scan(spark, snapshot_id=s1["snapshot_id"]).withColumn("snap", F.lit(1))
+    new = t.scan(spark).withColumn("snap", F.lit(2))
+    return (
+        old.unionByName(new)
+        .groupBy("snap", "part")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("text_len").alias("sum_len"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+    )
+
+
+SQL_ICE_TIME_TRAVEL = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(doc_id % 8 AS INT) AS part,
+         CAST(length(text) AS BIGINT) AS text_len
+  FROM documents
+), states AS (
+  SELECT 1 AS snap, part, doc_id, text_len FROM base
+  UNION ALL
+  SELECT 2 AS snap, part, doc_id,
+         CASE WHEN part IN (1, 3) THEN text_len * 2 ELSE text_len END AS text_len
+  FROM base
+)
+SELECT snap, part,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(text_len) AS BIGINT) AS sum_len,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+FROM states GROUP BY snap, part
+"""
+
+
 QUERIES = {
     "extract_roundtrip": q_extract_roundtrip,
+    "ice_time_travel": q_ice_time_travel,
     "web_warc_roundtrip": q_warc_roundtrip,
     "web_warc_dir_roundtrip": q_warc_dir_roundtrip,
     "sections_leaf_accuracy": q_sections_leaf_accuracy,
@@ -856,6 +927,7 @@ FROM strs
 
 ORACLES = {
     "extract_roundtrip": SQL_EXTRACT_ROUNDTRIP,
+    "ice_time_travel": SQL_ICE_TIME_TRAVEL,
     "web_warc_roundtrip": SQL_WARC_ROUNDTRIP,
     "web_warc_dir_roundtrip": SQL_WARC_DIR_ROUNDTRIP,
     "sections_leaf_accuracy": SQL_SECTIONS_LEAF_ACCURACY,

@@ -233,3 +233,67 @@ def job_progress(
         "partitions_total": total,
         "docs_done": int(row["docs"] or 0),
     }
+
+
+def run_with_lineage_ice(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    run_id: str = "run-1",
+    num_partitions: int = DEFAULT_PARTITIONS,
+) -> dict:
+    """``run_with_lineage`` with the results sink on the icetable format
+    (north_rule: "writes extracted text plus span offsets back to
+    Iceberg").
+
+    Each run (or resumed slice of a run) commits ONE snapshot via
+    dynamic partition overwrite — re-running a partition REPLACES it in
+    the new snapshot while every previous snapshot stays readable
+    (snapshot isolation + time travel, ``sources/icetable.py``).  The
+    lineage append stays the commit point and happens only after the
+    table commit returns; a crash in between leaves the snapshot
+    committed but unacknowledged, and the resumed run simply overwrites
+    those partitions again — same rows, idempotent.
+    """
+    from ..sources.icetable import IceTable
+
+    table_dir = os.path.join(out_dir, "extracted_ice")
+    lineage_dir = os.path.join(out_dir, "lineage")
+    try:
+        table = IceTable.load(table_dir)
+    except FileNotFoundError:
+        table = IceTable.create(
+            table_dir, partition_col="partition_id", stat_cols=["url", "doc_bytes"]
+        )
+
+    done = resume_filter(spark, lineage_dir)
+    extracted = run_extraction(pages, num_partitions=num_partitions, done_partitions=done)
+
+    started_at = datetime.now(timezone.utc)  # before the data write
+    snap = table.overwrite_partitions(
+        # blob-free re-cluster by the logical id (see run_with_lineage)
+        extracted.repartition(num_partitions, F.col("partition_id"))
+    )
+    # commit point: lineage appended only after the table commit returned
+    replaced = set(snap["summary"]["replaced_partitions"])
+    if replaced:
+        done_rows = table.scan(spark, partition_values=replaced)
+        lin = lineage_rows(
+            done_rows, run_id, started_at=started_at, partitions_total=num_partitions
+        )
+        lin = lin.withColumn("snapshot_id", F.lit(int(snap["snapshot_id"])))
+        lin.write.mode("append").parquet(lineage_dir)
+
+    n_done = 0 if done is None else done.count()
+    try:
+        lin_total = latest_lineage(spark.read.parquet(lineage_dir)).count()
+    except Exception:  # noqa: BLE001 — an all-resumed/empty run wrote none
+        lin_total = 0
+    return {
+        "run_id": run_id,
+        "snapshot_id": int(snap["snapshot_id"]),
+        "resumed_partitions_skipped": n_done,
+        "partitions_total": lin_total,
+        "table_dir": table_dir,
+        "lineage_dir": lineage_dir,
+    }

@@ -196,3 +196,58 @@ def stream_extract_with_callbacks(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_extract_to_icetable(
+    spark: SparkSession,
+    input_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    num_partitions: int = DEFAULT_PARTITIONS,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Incremental extraction committing ONE icetable snapshot per
+    micro-batch (``sources/icetable.py``).
+
+    Exactly-once without relying on the file sink: the table is
+    partitioned by ``batch_id``, and each micro-batch lands as a dynamic
+    partition overwrite of ITS OWN batch_id — a crash after the table
+    commit but before the checkpoint advances replays the batch, and the
+    replay REPLACES the same partition instead of duplicating it (the
+    same replay contract as streaming/dedupe_stream.py's keeper output).
+    Every micro-batch stays time-travelable as a snapshot, so "what had
+    the stream extracted as of batch k" is one metadata read.
+    """
+    from pyspark.sql import functions as F
+
+    from ..sources.icetable import IceTable
+
+    try:
+        table = IceTable.load(table_dir)
+    except FileNotFoundError:
+        table = IceTable.create(
+            table_dir, partition_col="batch_id", stat_cols=["url", "doc_bytes"]
+        )
+
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    pages = reader.parquet(input_dir)
+
+    extracted = run_extraction(pages, num_partitions=num_partitions)
+
+    def _commit(batch_df, batch_id: int) -> None:
+        table.overwrite_partitions(
+            batch_df.withColumn("batch_id", F.lit(int(batch_id)).cast("long")),
+            extra_summary={"stream_batch_id": int(batch_id)},
+        )
+
+    writer = (
+        extracted.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
