@@ -39,6 +39,7 @@ _MODULES = (
 _DRIVER_FIRST = (
     "ice_time_travel",           # new r6 (icetable snapshot layer)
     "dedup_substring",           # new r6 (exact-substring dedup)
+    "dedup_substring_rebuild",   # new r6 (cleaned-text output)
     "ocr_jpeg_roundtrip",        # new r6
     "sections_leaf_accuracy",    # new r6
     "web_warc_dir_roundtrip",    # new r6

@@ -781,7 +781,13 @@ SUB_L = 12  # window length in tokens (Lee et al. use 50 BPE tokens; the
 #             synthetic docs average ~54 words, so 12 keeps real overlap)
 
 
-def q_dedup_substring(spark, sf_dir):
+def _substring_dups(spark, sf_dir):
+    """Shared core: per-doc window table + the non-keeper occurrences.
+
+    Returns ``(docs, dups)``: ``docs(doc_id, n_tokens, wins)`` and
+    ``dups(doc_id, pos)`` — every occurrence of a repeated window except
+    the globally first (min packed (doc_id, pos)).
+    """
     toks = F.split(F.col("text"), " ")
     nw = (F.size(toks) - F.lit(SUB_L) + 1).cast("long")
     idx = F.when(nw > 0, F.sequence(F.lit(0).cast("long"), nw - 1)).otherwise(
@@ -819,7 +825,7 @@ def q_dedup_substring(spark, sf_dir):
     ).otherwise(
         F.raise_error(
             F.concat(
-                F.lit("q_dedup_substring: pos >= _PARA_POS_BASE for doc_id "),
+                F.lit("_substring_dups: pos >= _PARA_POS_BASE for doc_id "),
                 F.col("doc_id").cast("string"),
             )
         ).cast("long")
@@ -831,7 +837,12 @@ def q_dedup_substring(spark, sf_dir):
         .filter(F.col("cnt") > 1)
         .select("h", "min_k")
     )
-    dups = wins.join(rep, "h").filter(F.col("k") > F.col("min_k"))
+    dups = wins.join(rep, "h").filter(F.col("k") > F.col("min_k")).select("doc_id", "pos")
+    return docs, dups
+
+
+def q_dedup_substring(spark, sf_dir):
+    docs, dups = _substring_dups(spark, sf_dir)
     dup_tok = (
         dups.select(
             "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + SUB_L - 1)).alias("tp")
@@ -895,9 +906,90 @@ LEFT JOIN dup_tok dt ON b.doc_id = dt.doc_id
 """
 
 
+def q_dedup_substring_rebuild(spark, sf_dir):
+    """The Lee-et-al OUTPUT: every token position covered by a non-keeper
+    occurrence of a repeated window is dropped, the rest of the document
+    is rebuilt in order — the globally first occurrence of every
+    duplicated span survives, later copies vanish byte-exactly.
+
+    Scale shape: inherits _substring_dups (agg-filtered join on repeated
+    windows only); the rebuild is one posexplode + broadcast-sized
+    left-anti on (doc_id, tp) + one groupBy(doc_id) with an array_sort
+    of (pos, token) structs — all keyed on doc_id, never on the hot
+    window key.
+    """
+    docs, dups = _substring_dups(spark, sf_dir)
+    dup_pos = dups.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + SUB_L - 1)).alias("tp"),
+    ).distinct()
+    toks_pos = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("tp", "tok"))
+    )
+    kept = toks_pos.join(dup_pos, ["doc_id", "tp"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tp", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("rebuilt_text"),
+    )
+    return (
+        docs.select("doc_id", "n_tokens")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_kept_tokens", F.lit(0)).cast("long").alias("n_kept_tokens"),
+            F.coalesce("rebuilt_text", F.lit("")).alias("rebuilt_text"),
+        )
+    )
+
+
+SQL_DEDUP_SUBSTRING_REBUILD = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), w AS (
+  SELECT doc_id, i AS pos,
+         CAST(('0x' || substr(md5(array_to_string(t[i+1:i+{SUB_L}], ' ')), 1, 15))
+              AS BIGINT) AS h,
+         doc_id * {_PARA_POS_BASE} + i AS k
+  FROM toks,
+       unnest(CASE WHEN len(t) >= {SUB_L}
+                   THEN range(0, len(t) - {SUB_L} + 1) ELSE [] END) AS u(i)
+), rep AS (
+  SELECT h, min(k) AS min_k FROM w GROUP BY h HAVING count(*) > 1
+), dups AS (
+  SELECT w.doc_id, w.pos FROM w JOIN rep USING (h) WHERE w.k > rep.min_k
+), dup_pos AS (
+  SELECT DISTINCT doc_id, pos + j AS tp
+  FROM dups, unnest(range(0, {SUB_L})) AS r(j)
+), toks_pos AS (
+  SELECT doc_id, i - 1 AS tp, t[CAST(i AS INT)] AS tok
+  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+), kept AS (
+  SELECT tp.doc_id, tp.tp, tp.tok
+  FROM toks_pos tp ANTI JOIN dup_pos dp USING (doc_id, tp)
+), reb AS (
+  SELECT doc_id, count(*) AS n_kept_tokens,
+         string_agg(tok, ' ' ORDER BY tp) AS rebuilt_text
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(len(b.t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(r.n_kept_tokens, 0) AS BIGINT) AS n_kept_tokens,
+       coalesce(r.rebuilt_text, '') AS rebuilt_text
+FROM toks b LEFT JOIN reb r ON b.doc_id = r.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_substring": q_dedup_substring,
+    "dedup_substring_rebuild": q_dedup_substring_rebuild,
     "dedup_paragraphs": q_dedup_paragraphs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_signature": q_minhash_signature,
@@ -910,6 +1002,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_substring": SQL_DEDUP_SUBSTRING,
+    "dedup_substring_rebuild": SQL_DEDUP_SUBSTRING_REBUILD,
     "dedup_paragraphs": SQL_DEDUP_PARAGRAPHS,
     "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
     "dedup_minhash_signature": SQL_MINHASH_SIG,

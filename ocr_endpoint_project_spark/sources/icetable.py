@@ -384,6 +384,35 @@ class IceTable:
 
         return self._commit("overwrite", build)
 
+    def merge(self, spark: SparkSession, df: DataFrame, key_cols: list[str]) -> dict:
+        """Copy-on-write MERGE (upsert by key): within the partitions
+        ``df`` touches, rows whose key matches an incoming row are
+        replaced and everything else is carried over; partitions ``df``
+        does not touch are reused verbatim (their manifests never open).
+        One overwrite snapshot — Iceberg's copy-on-write ``MERGE INTO``.
+
+        The key must be partition-stable (a key never changes its
+        partition value between writes): a matching old row living in an
+        UNtouched partition is invisible to the rewrite and would
+        survive as a duplicate.  The extraction sink's natural key
+        ``url`` -> ``partition_id = pmod(xxhash64(url), P)`` has this
+        property by construction.
+        """
+        meta = self.metadata()
+        pcol = meta["partition_col"]
+        if pcol is None:
+            raise ValueError("merge needs a partitioned table")
+        # bounded driver list: one row per TOUCHED PARTITION, never data
+        touched = {r[0] for r in df.select(pcol).distinct().collect()}
+        if not touched:
+            return self.overwrite_partitions(df, extra_summary={"merge_keys": key_cols})
+        old = self.scan(spark, partition_values=touched)
+        carried = old.join(df.select(*key_cols).distinct(), key_cols, "left_anti")
+        merged = carried.unionByName(df)
+        return self.overwrite_partitions(
+            merged, extra_summary={"merge_keys": list(key_cols)}
+        )
+
     def _manifest_list_for(self, meta: dict, snap_id: int | None) -> list[dict]:
         if snap_id is None:
             return []

@@ -301,3 +301,30 @@ def test_stream_extract_to_icetable_batches(spark, tmp_path):
     assert t.scan(spark).count() == 30
     assert t.scan(spark).filter(SF.col("batch_id") == 0).count() == n_b0
     pages.unpersist()
+
+
+def test_merge_copy_on_write_upsert(spark, tmp_path):
+    """MERGE: matched keys replaced, unmatched carried over, untouched
+    partitions' data files reused verbatim (no rewrite)."""
+    t = IceTable.create(str(tmp_path / "t"), partition_col="part", stat_cols=["k"])
+    t.append(_df(spark, 0, 40))
+    files_before = {e["path"] for e in t.plan_files(partition_values={2})}
+
+    # upsert: k=1 and k=5 (part 1) get v=-1; k=1001 (part 1) is new
+    incoming = spark.createDataFrame(
+        [(1, -1, 1), (5, -1, 1), (1001, -1, 1)], "k long, v long, part int"
+    )
+    snap = t.merge(spark, incoming, key_cols=["k"])
+    assert snap["summary"]["merge_keys"] == ["k"]
+    assert snap["summary"]["replaced_partitions"] == ["1"]
+
+    got = t.scan(spark)
+    assert got.count() == 41  # 40 original + 1 inserted
+    assert got.filter("k in (1, 5, 1001)").agg(F.sum("v")).collect()[0][0] == -3
+    # unmatched rows of the touched partition carried over untouched
+    assert got.filter("k = 9").select("v").collect()[0][0] == 9
+    # untouched partition reuses the exact same data files
+    files_after = {e["path"] for e in t.plan_files(partition_values={2})}
+    assert files_after == files_before
+    # and the pre-merge snapshot still reads the original 40 rows
+    assert t.scan(spark, snapshot_id=1).count() == 40
