@@ -49,6 +49,7 @@ HEADLINE = [
     "text_quality_score",
     "text_hashed_linear_score",
     "dedup_paragraphs",
+    "dedup_substring_rebuild",
     "text_winnow_fingerprint",
     "pipeline_training_prep",
     "word_metrics_kernel",

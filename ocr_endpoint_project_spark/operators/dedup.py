@@ -813,12 +813,17 @@ def _substring_dups(spark, sf_dir):
             .alias("h"),
         ),
     )
+    # docs carries only scalars (n_windows = greatest(n_tokens-L+1, 0) is
+    # arithmetic, not a re-derivation of the window array); the md5
+    # window transform lives in exactly ONE branch, the pinned explode
     docs = _docs(spark, sf_dir).select(
-        "doc_id", F.size(toks).cast("long").alias("n_tokens"), wins_arr.alias("wins")
+        "doc_id", F.size(toks).cast("long").alias("n_tokens")
     )
-    wins = docs.select(
-        "doc_id", F.explode("wins").alias("w")
-    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    wins = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(wins_arr).alias("w"))
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    )
     packed = F.when(
         F.col("pos") < _PARA_POS_BASE,
         F.col("doc_id") * _PARA_POS_BASE + F.col("pos"),
@@ -830,7 +835,10 @@ def _substring_dups(spark, sf_dir):
             )
         ).cast("long")
     )
-    wins = wins.withColumn("k", packed)
+    # pinned: wins feeds BOTH the repeated-set agg and the join back on h
+    # (the _pin self-join rule — without it the md5 window transform over
+    # the whole corpus runs once per branch)
+    wins = _pin(wins.withColumn("k", packed), "substring_wins")
     rep = (
         wins.groupBy("h")
         .agg(F.min("k").alias("min_k"), F.count(F.lit(1)).alias("cnt"))
@@ -852,7 +860,11 @@ def q_dedup_substring(spark, sf_dir):
     )
     dup_win = dups.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup_windows"))
     return (
-        docs.select("doc_id", "n_tokens", F.size("wins").cast("long").alias("n_windows"))
+        docs.select(
+            "doc_id",
+            "n_tokens",
+            F.greatest(F.col("n_tokens") - SUB_L + 1, F.lit(0)).cast("long").alias("n_windows"),
+        )
         .join(dup_win, "doc_id", "left")
         .join(dup_tok, "doc_id", "left")
         .select(
