@@ -16,6 +16,7 @@ from . import (
     multimodal,
     similarity,
     textstats,
+    trainprep,
 )
 
 _MODULES = (
@@ -27,6 +28,7 @@ _MODULES = (
     multimodal,
     similarity,
     textstats,
+    trainprep,
 )
 
 
@@ -37,6 +39,11 @@ _MODULES = (
 # core keeps its coverage via the committed full-registry
 # CORRECTNESS_local_r{N}.json run every round.
 _DRIVER_FIRST = (
+    "train_split_assign",        # new r6 (trainprep module)
+    "train_split_summary",       # new r6
+    "train_pack_sequences",      # new r6
+    "train_mix_weights",         # new r6
+    "web_host_pagerank",         # new r6
     "ice_time_travel",           # new r6 (icetable snapshot layer)
     "dedup_substring",           # new r6 (exact-substring dedup)
     "dedup_substring_rebuild",   # new r6 (cleaned-text output)

@@ -1,0 +1,387 @@
+"""Training-run preparation operators — the last mile of a web-scale
+training-data pipeline, after extraction/dedup/quality: deterministic
+split assignment, concat-and-chunk sequence packing, temperature-based
+domain mixture weights, and an iterative host-graph rank (the classic
+"importance prior" for crawl/corpus weighting).
+
+Everything is exact-integer or single-IEEE-op arithmetic so the DuckDB
+oracles are bit-identical (see functions/text.py rounding notes). All
+shapes are shuffle-minimal:
+
+* split assignment is a pure map (zero shuffles) — the split is a hash
+  of the doc id, so it is stable under re-runs, re-partitioning, and
+  incremental corpus growth (a new doc never flips an old doc's split);
+* packing windows are per-shard (shard = hash(doc) % N_SHARDS) — each
+  shard's running sum is independent, so shards scale out like writer
+  tasks in a real tokenizer-sharding job;
+* mixture weights aggregate to one tiny domain table first (map-side
+  partial aggregation), then do driver-scale window math on ~#domains
+  rows;
+* pagerank shuffles only (src)->(dst) contributions per iteration, the
+  canonical join+groupBy plan AQE handles at any graph size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._io import read_spread
+from ..functions.text import (
+    SQL_NORM_TOKENS,
+    SQL_SHINGLE_HASH32,
+    norm_tokens,
+    r4,
+    shingle_hash32,
+    sql_r4,
+    token_count,
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_spread(spark, f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_spread(spark, f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/val/test split (reference: the benchmark harness's
+# fixed eval subsets, benchmark_runner.py golden-set selection; generalized
+# to the hash-bucket split every large-corpus training run uses)
+# ---------------------------------------------------------------------------
+
+_SPLIT_BUCKETS = 1000
+_TEST_LT = 100   # 10% test
+_VAL_LT = 200    # next 10% val, remaining 80% train
+
+
+def _bucket_expr():
+    return shingle_hash32(
+        F.concat(F.lit("split|"), F.col("doc_id").cast("string"))
+    ) % _SPLIT_BUCKETS
+
+
+_SQL_BUCKET = (
+    SQL_SHINGLE_HASH32.format(s="'split|' || CAST(doc_id AS VARCHAR)")
+    + f" % {_SPLIT_BUCKETS}"
+)
+
+
+def q_train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-bucket split: stable per doc, no RNG, no shuffle. Adding or
+    removing documents never reassigns survivors (unlike randomSplit)."""
+    bucket = _bucket_expr()
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        bucket.cast("bigint").alias("bucket"),
+        F.when(bucket < _TEST_LT, F.lit("test"))
+        .when(bucket < _VAL_LT, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+SQL_TRAIN_SPLIT_ASSIGN = f"""
+SELECT doc_id, lang,
+       CAST(b AS BIGINT) AS bucket,
+       CASE WHEN b < {_TEST_LT} THEN 'test'
+            WHEN b < {_VAL_LT} THEN 'val'
+            ELSE 'train' END AS split
+FROM (SELECT doc_id, lang, {_SQL_BUCKET} AS b FROM documents)
+"""
+
+
+def q_train_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratification audit: per (split, lang) doc counts and ppm share
+    of the corpus — all integer arithmetic (cnt*1e6 div total)."""
+    assigned = q_train_split_assign(spark, sf_dir)
+    per = assigned.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    total = assigned.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "split",
+            "lang",
+            "n_docs",
+            F.expr("n_docs * 1000000 div t").cast("bigint").alias("share_ppm"),
+        )
+    )
+
+
+SQL_TRAIN_SPLIT_SUMMARY = f"""
+WITH assigned AS (
+  SELECT doc_id, lang,
+         CASE WHEN b < {_TEST_LT} THEN 'test'
+              WHEN b < {_VAL_LT} THEN 'val'
+              ELSE 'train' END AS split
+  FROM (SELECT doc_id, lang, {_SQL_BUCKET} AS b FROM documents)
+)
+SELECT split, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) * 1000000 // (SELECT count(*) FROM assigned) AS BIGINT)
+           AS share_ppm
+FROM assigned
+GROUP BY split, lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# concat-and-chunk sequence packing: documents are tokenized, concatenated
+# per shard in doc_id order, and sliced into fixed PACK_TOKENS windows —
+# the standard LLM pretraining packing scheme (no padding waste; docs may
+# span pack boundaries). The running offset is a per-shard window cumsum;
+# shards are independent, so the job scales out with the shard count
+# (set N_SHARDS ~ writer parallelism in production).
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 8
+PACK_TOKENS = 256
+
+
+def q_train_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shard = (
+        shingle_hash32(F.concat(F.lit("shard|"), F.col("doc_id").cast("string")))
+        % N_SHARDS
+    ).cast("bigint")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        shard.alias("shard"),
+        token_count("text").cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    out = docs.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        (cum - F.col("n_tokens")).alias("tok_start"),
+        cum.alias("tok_end"),
+    )
+    return out.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "tok_start",
+        "tok_end",
+        F.expr(f"tok_start div {PACK_TOKENS}").alias("pack_first"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr(f"(tok_end - 1) div {PACK_TOKENS}"),
+        )
+        .otherwise(F.expr(f"tok_start div {PACK_TOKENS}"))
+        .alias("pack_last"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr(f"(tok_end - 1) div {PACK_TOKENS}")
+            - F.expr(f"tok_start div {PACK_TOKENS}")
+            + 1,
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("n_packs_spanned"),
+    )
+
+
+_SQL_SHARD = (
+    SQL_SHINGLE_HASH32.format(s="'shard|' || CAST(doc_id AS VARCHAR)")
+    + f" % {N_SHARDS}"
+)
+
+SQL_TRAIN_PACK_SEQUENCES = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST({_SQL_SHARD} AS BIGINT) AS shard,
+         CAST(len({SQL_NORM_TOKENS.format(col='text')}) AS BIGINT) AS n_tokens
+  FROM documents
+), offs AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_start,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS tok_end
+  FROM toks
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(tok_start AS BIGINT) AS tok_start,
+       CAST(tok_end AS BIGINT) AS tok_end,
+       CAST(tok_start // {PACK_TOKENS} AS BIGINT) AS pack_first,
+       CAST(CASE WHEN n_tokens > 0 THEN (tok_end - 1) // {PACK_TOKENS}
+                 ELSE tok_start // {PACK_TOKENS} END AS BIGINT) AS pack_last,
+       CAST(CASE WHEN n_tokens > 0
+                 THEN (tok_end - 1) // {PACK_TOKENS} - tok_start // {PACK_TOKENS} + 1
+                 ELSE 0 END AS BIGINT) AS n_packs_spanned
+FROM offs
+"""
+
+
+# ---------------------------------------------------------------------------
+# temperature-based domain mixture weights: w_d ∝ n_d^(1/T) with T=2
+# (sqrt scaling — the UnifiedQA/mT5 sampling rule). sqrt over an exact
+# integer count is one correctly-rounded IEEE op, so both engines agree
+# bit-for-bit; the scaled value is floored to an integer immediately and
+# every downstream ratio is exact-int / exact-int.
+# ---------------------------------------------------------------------------
+
+def q_train_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        _docs(spark, sf_dir)
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    scaled = per.select(
+        "source",
+        "lang",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("sqrt_scaled"),
+    )
+    # post-agg table is ~#domains rows: an unpartitioned window here is
+    # driver-scale math, not a data-scale shuffle
+    w = Window.partitionBy()
+    tot_docs = F.sum("n_docs").over(w)
+    tot_scaled = F.sum("sqrt_scaled").over(w)
+    return scaled.select(
+        "source",
+        "lang",
+        "n_docs",
+        r4(F.col("sqrt_scaled").cast("double") / tot_scaled).alias("weight"),
+        # oversample factor vs natural frequency: weight / (n_d / N)
+        r4(
+            (F.col("sqrt_scaled").cast("double") / tot_scaled)
+            / (F.col("n_docs").cast("double") / tot_docs)
+        ).alias("oversample"),
+    )
+
+
+SQL_TRAIN_MIX_WEIGHTS = f"""
+WITH per AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source, lang
+), scaled AS (
+  SELECT source, lang, n_docs,
+         CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+             AS sqrt_scaled
+  FROM per
+)
+SELECT source, lang, n_docs,
+       {sql_r4('CAST(sqrt_scaled AS DOUBLE) / sum(sqrt_scaled) OVER ()')} AS weight,
+       {sql_r4('(CAST(sqrt_scaled AS DOUBLE) / sum(sqrt_scaled) OVER ())'
+               ' / (CAST(n_docs AS DOUBLE) / sum(n_docs) OVER ())')} AS oversample
+FROM scaled
+"""
+
+
+# ---------------------------------------------------------------------------
+# host-graph rank: 3 damped power iterations over a link graph, all
+# integer arithmetic (ranks in ppm, contributions via integer division,
+# dangling mass dropped — consistently in both engines). The per-iteration
+# plan is the canonical edges⋈ranks shuffle + groupBy(dst) partial agg; at
+# web scale the edge table partitions on src and AQE handles hub skew.
+# Graph synthesized deterministically from the events table (no link
+# column exists in the corpus): src = user_id % H, dst = event_id % H.
+# ---------------------------------------------------------------------------
+
+_PR_HOSTS = 40
+_PR_INIT = 1_000_000     # ppm
+_PR_ITERS = 3
+
+
+def _edges(ev: DataFrame) -> DataFrame:
+    return (
+        ev.select(
+            (F.col("user_id") % _PR_HOSTS).cast("bigint").alias("src"),
+            (F.col("event_id") % _PR_HOSTS).cast("bigint").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def q_web_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges(_events(spark, sf_dir))
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.select("host", F.lit(_PR_INIT).cast("bigint").alias("rank_ppm"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.host)
+            .join(outdeg, "src")
+            .select("dst", F.expr("rank_ppm div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inc"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.host == contrib.dst, "left")
+            .select(
+                "host",
+                (
+                    F.lit(150_000)
+                    + F.expr("850 * coalesce(inc, 0) div 1000")
+                ).cast("bigint").alias("rank_ppm"),
+            )
+        )
+    return ranks
+
+
+def _sql_pr_iter(prev: str) -> str:
+    return f"""
+  SELECT n.host,
+         CAST(150000 + 850 * coalesce(i.inc, 0) // 1000 AS BIGINT) AS rank_ppm
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst, sum(r.rank_ppm // o.outdeg) AS inc
+    FROM edges e
+    JOIN {prev} r ON e.src = r.host
+    JOIN outdeg o ON e.src = o.src
+    GROUP BY e.dst
+  ) i ON n.host = i.dst
+"""
+
+
+SQL_WEB_HOST_PAGERANK = f"""
+WITH edges AS (
+  SELECT DISTINCT CAST(user_id % {_PR_HOSTS} AS BIGINT) AS src,
+                  CAST(event_id % {_PR_HOSTS} AS BIGINT) AS dst
+  FROM events
+  WHERE user_id % {_PR_HOSTS} != event_id % {_PR_HOSTS}
+), nodes AS (
+  SELECT src AS host FROM edges UNION SELECT dst FROM edges
+), outdeg AS (
+  SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+), r0 AS (
+  SELECT host, CAST({_PR_INIT} AS BIGINT) AS rank_ppm FROM nodes
+), r1 AS ({_sql_pr_iter('r0')}
+), r2 AS ({_sql_pr_iter('r1')}
+), r3 AS ({_sql_pr_iter('r2')}
+)
+SELECT host, rank_ppm FROM r3
+"""
+
+
+QUERIES = {
+    "train_split_assign": q_train_split_assign,
+    "train_split_summary": q_train_split_summary,
+    "train_pack_sequences": q_train_pack_sequences,
+    "train_mix_weights": q_train_mix_weights,
+    "web_host_pagerank": q_web_host_pagerank,
+}
+
+ORACLES = {
+    "train_split_assign": SQL_TRAIN_SPLIT_ASSIGN,
+    "train_split_summary": SQL_TRAIN_SPLIT_SUMMARY,
+    "train_pack_sequences": SQL_TRAIN_PACK_SEQUENCES,
+    "train_mix_weights": SQL_TRAIN_MIX_WEIGHTS,
+    "web_host_pagerank": SQL_WEB_HOST_PAGERANK,
+}
