@@ -44,6 +44,7 @@ _DRIVER_FIRST = (
     "train_pack_sequences",      # new r6
     "train_mix_weights",         # new r6
     "web_host_pagerank",         # new r6
+    "ice_changelog",             # new r6 (icetable CDC scan)
     "ice_time_travel",           # new r6 (icetable snapshot layer)
     "dedup_substring",           # new r6 (exact-substring dedup)
     "dedup_substring_rebuild",   # new r6 (cleaned-text output)

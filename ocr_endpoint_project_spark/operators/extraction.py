@@ -832,6 +832,64 @@ def q_ice_time_travel(spark, sf_dir):
     )
 
 
+def q_ice_changelog(spark, sf_dir):
+    """CDC read of the icetable (sources/icetable.py changelog_scan):
+    append everything, overwrite two partitions with doubled lengths,
+    then ask "what changed since snapshot 1?" — copy-on-write granularity
+    means every row of the rewritten partitions comes back twice (delete
+    of the old image, insert of the new), tagged with the committing
+    snapshot. The oracle rebuilds both images from the documents table,
+    so a diff bug (stale manifest counted as added, a kept file reported
+    removed) breaks the hash."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.icetable import IceTable
+
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("part"),
+        F.length("text").cast("long").alias("text_len"),
+    )
+    tdir = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_icecdc_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(tdir, ignore_errors=True)
+    t = IceTable.create(tdir, partition_col="part", stat_cols=["doc_id"])
+    s1 = t.append(base.repartition(8, "part"))
+    patch = base.filter(F.col("part").isin(1, 3)).withColumn(
+        "text_len", F.col("text_len") * 2
+    )
+    t.overwrite_partitions(patch.repartition(8, "part"))
+    return t.changelog_scan(spark, from_snapshot_id=s1["snapshot_id"]).select(
+        "doc_id",
+        "part",
+        "text_len",
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_snapshot_id").alias("commit_snapshot_id"),
+    )
+
+
+SQL_ICE_CHANGELOG = """
+WITH touched AS (
+  SELECT doc_id,
+         CAST(doc_id % 8 AS INT) AS part,
+         CAST(length(text) AS BIGINT) AS text_len
+  FROM documents WHERE doc_id % 8 IN (1, 3)
+)
+SELECT doc_id, part, text_len, 'delete' AS change_type,
+       CAST(2 AS BIGINT) AS commit_snapshot_id
+FROM touched
+UNION ALL
+SELECT doc_id, part, text_len * 2 AS text_len, 'insert' AS change_type,
+       CAST(2 AS BIGINT) AS commit_snapshot_id
+FROM touched
+"""
+
+
 SQL_ICE_TIME_TRAVEL = """
 WITH base AS (
   SELECT doc_id,
@@ -856,6 +914,7 @@ FROM states GROUP BY snap, part
 QUERIES = {
     "extract_roundtrip": q_extract_roundtrip,
     "ice_time_travel": q_ice_time_travel,
+    "ice_changelog": q_ice_changelog,
     "web_warc_roundtrip": q_warc_roundtrip,
     "web_warc_dir_roundtrip": q_warc_dir_roundtrip,
     "sections_leaf_accuracy": q_sections_leaf_accuracy,
@@ -928,6 +987,7 @@ FROM strs
 ORACLES = {
     "extract_roundtrip": SQL_EXTRACT_ROUNDTRIP,
     "ice_time_travel": SQL_ICE_TIME_TRAVEL,
+    "ice_changelog": SQL_ICE_CHANGELOG,
     "web_warc_roundtrip": SQL_WARC_ROUNDTRIP,
     "web_warc_dir_roundtrip": SQL_WARC_DIR_ROUNDTRIP,
     "sections_leaf_accuracy": SQL_SECTIONS_LEAF_ACCURACY,

@@ -328,3 +328,56 @@ def test_merge_copy_on_write_upsert(spark, tmp_path):
     assert files_after == files_before
     # and the pre-merge snapshot still reads the original 40 rows
     assert t.scan(spark, snapshot_id=1).count() == 40
+
+
+def test_incremental_scan_reads_only_new_appends(spark, tmp_path):
+    t = IceTable.create(str(tmp_path / "t"), partition_col="part", stat_cols=["k"])
+    s1 = t.append(_df(spark, 0, 100))
+    s2 = t.append(_df(spark, 100, 150))
+    t.append(_df(spark, 150, 180))
+    # (s1, current]: only the rows of appends 2 and 3
+    inc = t.incremental_scan(spark, from_snapshot_id=s1["snapshot_id"])
+    rows = inc.collect()
+    assert {r.k for r in rows} == set(range(100, 180))
+    # each row is tagged with its committing snapshot
+    by_snap = {}
+    for r in rows:
+        by_snap.setdefault(r._commit_snapshot_id, set()).add(r.k)
+    assert by_snap[s2["snapshot_id"]] == set(range(100, 150))
+    # bounded upper end: (s1, s2] sees only append 2
+    mid = t.incremental_scan(
+        spark, from_snapshot_id=s1["snapshot_id"], to_snapshot_id=s2["snapshot_id"]
+    )
+    assert {r.k for r in mid.collect()} == set(range(100, 150))
+    # from=None replays from the beginning
+    assert t.incremental_scan(spark, from_snapshot_id=None).count() == 180
+
+
+def test_incremental_scan_refuses_overwrites(spark, tmp_path):
+    t = IceTable.create(str(tmp_path / "t"), partition_col="part", stat_cols=["k"])
+    s1 = t.append(_df(spark, 0, 100))
+    t.overwrite_partitions(
+        _df(spark, 0, 100, factor=2).filter(F.col("part") == 1)
+    )
+    with pytest.raises(ValueError, match="changelog_scan"):
+        t.incremental_scan(spark, from_snapshot_id=s1["snapshot_id"])
+
+
+def test_changelog_scan_emits_cow_delete_insert(spark, tmp_path):
+    t = IceTable.create(str(tmp_path / "t"), partition_col="part", stat_cols=["k"])
+    s1 = t.append(_df(spark, 0, 100))
+    s2 = t.overwrite_partitions(
+        _df(spark, 0, 100, factor=2).filter(F.col("part") == 1)
+    )
+    ch = t.changelog_scan(spark, from_snapshot_id=s1["snapshot_id"]).collect()
+    ins = {(r.k, r.v) for r in ch if r._change_type == "insert"}
+    dels = {(r.k, r.v) for r in ch if r._change_type == "delete"}
+    part1 = {k for k in range(100) if k % 4 == 1}
+    assert ins == {(k, 2 * k) for k in part1}
+    assert dels == {(k, k) for k in part1}
+    assert {r._commit_snapshot_id for r in ch} == {s2["snapshot_id"]}
+    # an append in the range shows up as pure inserts
+    s3 = t.append(_df(spark, 100, 120))
+    ch2 = t.changelog_scan(spark, from_snapshot_id=s2["snapshot_id"]).collect()
+    assert all(r._change_type == "insert" for r in ch2)
+    assert {r.k for r in ch2} == set(range(100, 120))
