@@ -45,6 +45,7 @@ _DRIVER_FIRST = (
     "train_mix_weights",         # new r6
     "web_host_pagerank",         # new r6
     "ice_changelog",             # new r6 (icetable CDC scan)
+    "ice_source_read",           # new r6 (icetable python data source)
     "ice_time_travel",           # new r6 (icetable snapshot layer)
     "dedup_substring",           # new r6 (exact-substring dedup)
     "dedup_substring_rebuild",   # new r6 (cleaned-text output)

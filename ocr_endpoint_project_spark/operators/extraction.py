@@ -873,6 +873,57 @@ def q_ice_changelog(spark, sf_dir):
     )
 
 
+def q_ice_source_read(spark, sf_dir):
+    """The icetable Python Data Source (sources/icetable_source.py) under
+    the oracle gate: two appends split by doc_id parity, read back via
+    spark.read.format('icetable') — the per-file InputPartition plan,
+    arrow-batch executor reads, hive partition reconstitution, and the
+    _commit_snapshot_id attribution are all on the hook for the hash."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.icetable import IceTable
+    from ..sources.icetable_source import IcetableDataSource
+
+    spark.dataSource.register(IcetableDataSource)
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("part"),
+        F.length("text").cast("long").alias("text_len"),
+    )
+    tdir = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_icesrc_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(tdir, ignore_errors=True)
+    t = IceTable.create(tdir, partition_col="part", stat_cols=["doc_id"])
+    t.append(base.filter(F.col("doc_id") % 2 == 0).repartition(8, "part"))
+    t.append(base.filter(F.col("doc_id") % 2 == 1).repartition(8, "part"))
+    return (
+        spark.read.format("icetable")
+        .option("path", tdir)
+        .load()
+        .select(
+            "doc_id",
+            "part",
+            "text_len",
+            F.col("_commit_snapshot_id").alias("commit_snapshot_id"),
+        )
+    )
+
+
+SQL_ICE_SOURCE_READ = """
+SELECT doc_id,
+       CAST(doc_id % 8 AS INT) AS part,
+       CAST(length(text) AS BIGINT) AS text_len,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT)
+           AS commit_snapshot_id
+FROM documents
+"""
+
+
 SQL_ICE_CHANGELOG = """
 WITH touched AS (
   SELECT doc_id,
@@ -915,6 +966,7 @@ QUERIES = {
     "extract_roundtrip": q_extract_roundtrip,
     "ice_time_travel": q_ice_time_travel,
     "ice_changelog": q_ice_changelog,
+    "ice_source_read": q_ice_source_read,
     "web_warc_roundtrip": q_warc_roundtrip,
     "web_warc_dir_roundtrip": q_warc_dir_roundtrip,
     "sections_leaf_accuracy": q_sections_leaf_accuracy,
@@ -988,6 +1040,7 @@ ORACLES = {
     "extract_roundtrip": SQL_EXTRACT_ROUNDTRIP,
     "ice_time_travel": SQL_ICE_TIME_TRAVEL,
     "ice_changelog": SQL_ICE_CHANGELOG,
+    "ice_source_read": SQL_ICE_SOURCE_READ,
     "web_warc_roundtrip": SQL_WARC_ROUNDTRIP,
     "web_warc_dir_roundtrip": SQL_WARC_DIR_ROUNDTRIP,
     "sections_leaf_accuracy": SQL_SECTIONS_LEAF_ACCURACY,

@@ -1,0 +1,221 @@
+"""Icetable as a Spark Python Data Source (Spark 4 `pyspark.sql.datasource`):
+
+    spark.dataSource.register(IcetableDataSource)
+    spark.read.format("icetable").option("path", tdir).load()
+    spark.readStream.format("icetable").option("path", tdir).load()
+
+The STREAM reader turns the snapshot log into the offset axis — an
+offset is simply ``{"snapshot_id": N}``, ``latestOffset`` is the current
+table head, and each micro-batch plans exactly the data files ADDED by
+the snapshots in ``(start, end]`` (the same manifest-list diff as
+``IceTable.incremental_scan``).  Spark's checkpoint persists the offset,
+so a restarted query resumes from the last committed snapshot with
+exactly-once file accounting — the Iceberg streaming-read contract.
+
+Scale shape: ``partitions()`` is driver-side METADATA work (manifest
+diffs, file lists — bytes per file, never data); each data file becomes
+one ``InputPartition`` read executor-side with pyarrow and yielded as
+Arrow record batches (zero row-by-row Python).  A 1000-executor cluster
+fans the file list out exactly like a native parquet scan.
+
+Rows carry ``_commit_snapshot_id`` (the snapshot that added the file) in
+both batch and stream mode, so downstream audit/replay logic can group
+by commit without a join against the metadata.
+
+Append-only streams are the contract (Iceberg's streaming read has the
+same rule): an overwrite/expire snapshot in the range raises unless
+``skipNonAppend`` is set, in which case its file diff is skipped whole.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import LongType, StructField, StructType
+
+from .icetable import IceTable
+
+META_COL = "_commit_snapshot_id"
+
+
+@dataclass
+class IceFilePartition(InputPartition):
+    """One data file; picklable, self-contained (executors never touch
+    table metadata)."""
+
+    path: str            # absolute path to the parquet file
+    part_col: str | None
+    part_value: str | None
+    snapshot_id: int
+
+
+def _table_schema(table_dir: str) -> StructType:
+    meta = IceTable.load(table_dir).metadata()
+    if meta.get("schema") is None:
+        raise ValueError(
+            f"icetable at {table_dir} has no committed schema (empty table?)"
+        )
+    schema = StructType.fromJson(meta["schema"])
+    # schema evolution null-fills later-added columns from old files, so
+    # every data field must read as nullable regardless of how the writer
+    # frame declared it (a non-null writer schema + a null-filled old file
+    # would NPE inside Spark's row conversion)
+    fields = [StructField(f.name, f.dataType, True) for f in schema.fields]
+    return StructType(fields + [StructField(META_COL, LongType(), False)])
+
+
+def _convert_part_value(schema: StructType, name: str, raw: str | None):
+    if raw is None:
+        return None
+    kind = schema[name].dataType.simpleString()
+    if kind in ("int", "bigint", "smallint", "tinyint"):
+        return int(raw)
+    if kind in ("double", "float"):
+        return float(raw)
+    return raw
+
+
+def _read_file_batches(part: IceFilePartition, schema: StructType):
+    """Executor-side: one parquet file -> Arrow batches in schema order,
+    partition + snapshot columns appended as constants."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(schema)
+    tbl = pq.read_table(part.path)
+    n = tbl.num_rows
+    cols = []
+    for i, field in enumerate(schema.fields):
+        at = target.field(i).type
+        if field.name == META_COL:
+            cols.append(pa.array([part.snapshot_id] * n, type=at))
+        elif part.part_col is not None and field.name == part.part_col:
+            v = _convert_part_value(schema, field.name, part.part_value)
+            cols.append(pa.array([v] * n, type=at))
+        elif field.name in tbl.column_names:
+            cols.append(tbl[field.name].combine_chunks().cast(at))
+        else:
+            # schema evolution: a column added after this file was written
+            cols.append(pa.nulls(n, type=at))
+    out = pa.table(cols, schema=target)
+    yield from out.to_batches(max_chunksize=8192)
+
+
+def _file_partitions(
+    table_dir: str, snaps: list[dict], t: IceTable, skip_non_append: bool
+) -> list[IceFilePartition]:
+    meta = t.metadata()
+    pcol = meta["partition_col"]
+    parts: list[IceFilePartition] = []
+    for s in snaps:
+        if s["operation"] != "append":
+            if skip_non_append:
+                continue
+            raise ValueError(
+                f"icetable stream crossed non-append snapshot "
+                f"{s['snapshot_id']} ({s['operation']}); set skipNonAppend "
+                "or reprocess via changelog_scan"
+            )
+        added, _removed = t._file_diff(meta, s)
+        for e in added:
+            parts.append(
+                IceFilePartition(
+                    path=os.path.join(table_dir, e["path"]),
+                    part_col=pcol,
+                    part_value=e["partition"],
+                    snapshot_id=s["snapshot_id"],
+                )
+            )
+    return parts
+
+
+class IcetableBatchReader(DataSourceReader):
+    def __init__(self, schema: StructType, options):
+        self._schema = schema
+        self._table_dir = options["path"]
+
+    def partitions(self):
+        t = IceTable.load(self._table_dir)
+        meta = t.metadata()
+        pcol = meta["partition_col"]
+        # attribute each live file to the snapshot that ADDED it: walk the
+        # history once, first snapshot containing a path wins (metadata
+        # only — file lists, never data)
+        first_seen: dict[str, int] = {}
+        for s in meta["snapshots"]:
+            for m in t._manifest_list_for(meta, s["snapshot_id"]):
+                from .icetable import _read_json
+
+                for e in _read_json(os.path.join(t.meta_dir, m["name"])):
+                    first_seen.setdefault(e["path"], s["snapshot_id"])
+        return [
+            IceFilePartition(
+                path=os.path.join(self._table_dir, e["path"]),
+                part_col=pcol,
+                part_value=e["partition"],
+                snapshot_id=first_seen.get(e["path"], meta["current_snapshot_id"]),
+            )
+            for e in t.plan_files()
+        ]
+
+    def read(self, partition: IceFilePartition):
+        yield from _read_file_batches(partition, self._schema)
+
+
+class IcetableStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options):
+        self._schema = schema
+        self._table_dir = options["path"]
+        self._start = int(options.get("startingsnapshotid", 0))
+        self._skip_non_append = str(
+            options.get("skipnonappend", "false")
+        ).lower() in ("true", "1")
+
+    def initialOffset(self) -> dict:
+        return {"snapshot_id": self._start}
+
+    def latestOffset(self) -> dict:
+        meta = IceTable.load(self._table_dir).metadata()
+        cur = meta["current_snapshot_id"]
+        return {"snapshot_id": int(cur) if cur is not None else self._start}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["snapshot_id"], end["snapshot_id"]
+        if hi <= lo:
+            return []
+        t = IceTable.load(self._table_dir)
+        meta = t.metadata()
+        snaps = [
+            s for s in meta["snapshots"] if lo < s["snapshot_id"] <= hi
+        ]
+        return _file_partitions(self._table_dir, snaps, t, self._skip_non_append)
+
+    def read(self, partition: IceFilePartition):
+        yield from _read_file_batches(partition, self._schema)
+
+    def commit(self, end: dict) -> None:
+        # offsets live in Spark's checkpoint; nothing table-side to do
+        pass
+
+
+class IcetableDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "icetable"
+
+    def schema(self) -> StructType:
+        return _table_schema(self.options["path"])
+
+    def reader(self, schema: StructType) -> IcetableBatchReader:
+        return IcetableBatchReader(schema, self.options)
+
+    def streamReader(self, schema: StructType) -> IcetableStreamReader:
+        return IcetableStreamReader(schema, self.options)

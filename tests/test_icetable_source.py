@@ -1,0 +1,140 @@
+"""Icetable as a Spark Python Data Source: batch scan parity, snapshot-id
+offsets, checkpointed exactly-once restart, non-append policy."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_endpoint_project_spark.sources.icetable import IceTable
+from ocr_endpoint_project_spark.sources.icetable_source import IcetableDataSource
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.dataSource.register(IcetableDataSource)
+
+
+def _df(spark, lo, hi, factor=10):
+    return (
+        spark.range(lo, hi)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") * factor).alias("v"),
+            F.pmod(F.col("id"), F.lit(4)).cast("int").alias("part"),
+        )
+        .repartition(4, "part")
+    )
+
+
+def _drain(stream_df, ckpt, sink):
+    q = (
+        stream_df.writeStream.foreachBatch(
+            lambda bdf, bid: sink.extend(bdf.collect())
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_batch_read_matches_scan_and_attributes_snapshots(spark, tmp_path):
+    tdir = str(tmp_path / "t")
+    t = IceTable.create(tdir, partition_col="part", stat_cols=["k"])
+    t.append(_df(spark, 0, 50))
+    t.append(_df(spark, 50, 80))
+    got = spark.read.format("icetable").option("path", tdir).load()
+    assert got.count() == 80
+    assert {r.k for r in got.collect()} == set(range(80))
+    # rows carry the snapshot that added their file
+    attr = {
+        r._commit_snapshot_id: r["count"]
+        for r in got.groupBy("_commit_snapshot_id").count().collect()
+    }
+    assert attr == {1: 50, 2: 30}
+    # partition column reconstituted with the right type and values
+    assert got.schema["part"].dataType.simpleString() == "int"
+    assert got.filter("k % 4 != part").count() == 0
+
+
+def test_stream_resumes_from_checkpoint_exactly_once(spark, tmp_path):
+    tdir = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    t = IceTable.create(tdir, partition_col="part", stat_cols=["k"])
+    t.append(_df(spark, 0, 40))
+    first: list = []
+    _drain(
+        spark.readStream.format("icetable").option("path", tdir).load(),
+        ckpt,
+        first,
+    )
+    assert {r.k for r in first} == set(range(40))
+    # two more appends, then RESTART from the same checkpoint: only the
+    # new snapshots' rows may appear, each tagged with its snapshot
+    s2 = t.append(_df(spark, 40, 60))
+    s3 = t.append(_df(spark, 60, 70))
+    second: list = []
+    _drain(
+        spark.readStream.format("icetable").option("path", tdir).load(),
+        ckpt,
+        second,
+    )
+    assert {r.k for r in second} == set(range(40, 70))
+    tags = {r.k: r._commit_snapshot_id for r in second}
+    assert all(tags[k] == s2["snapshot_id"] for k in range(40, 60))
+    assert all(tags[k] == s3["snapshot_id"] for k in range(60, 70))
+    # nothing new -> a third drain emits zero rows
+    third: list = []
+    _drain(
+        spark.readStream.format("icetable").option("path", tdir).load(),
+        ckpt,
+        third,
+    )
+    assert third == []
+
+
+def test_stream_starting_snapshot_and_non_append_policy(spark, tmp_path):
+    tdir = str(tmp_path / "t")
+    t = IceTable.create(tdir, partition_col="part", stat_cols=["k"])
+    s1 = t.append(_df(spark, 0, 40))
+    t.overwrite_partitions(_df(spark, 0, 40, factor=2).filter(F.col("part") == 1))
+    t.append(_df(spark, 40, 50))
+    # default policy: the overwrite snapshot in range fails the stream
+    strict: list = []
+    with pytest.raises(Exception, match="non-append"):
+        _drain(
+            spark.readStream.format("icetable")
+            .option("path", tdir)
+            .option("startingSnapshotId", s1["snapshot_id"])
+            .load(),
+            str(tmp_path / "c1"),
+            strict,
+        )
+    # skipNonAppend: overwrite skipped whole, appends still flow
+    skipped: list = []
+    _drain(
+        spark.readStream.format("icetable")
+        .option("path", tdir)
+        .option("startingSnapshotId", s1["snapshot_id"])
+        .option("skipNonAppend", "true")
+        .load(),
+        str(tmp_path / "c2"),
+        skipped,
+    )
+    assert {r.k for r in skipped} == set(range(40, 50))
+
+
+def test_batch_read_null_fills_evolved_schema(spark, tmp_path):
+    tdir = str(tmp_path / "t")
+    t = IceTable.create(tdir, partition_col="part", stat_cols=["k"])
+    t.append(_df(spark, 0, 20))
+    with_extra = _df(spark, 20, 30).withColumn("note", F.concat(F.lit("n"), F.col("k")))
+    t.append(with_extra)
+    got = spark.read.format("icetable").option("path", tdir).load()
+    assert "note" in got.columns
+    notes = {r.k: r.note for r in got.collect()}
+    assert all(notes[k] is None for k in range(20))
+    assert all(notes[k] == f"n{k}" for k in range(20, 30))
