@@ -44,6 +44,8 @@ _DRIVER_FIRST = (
     "train_pack_sequences",      # new r6
     "train_mix_weights",         # new r6
     "web_host_pagerank",         # new r6
+    "train_sample_per_domain",   # new r6
+    "train_vocab_topn",          # new r6
     "ice_changelog",             # new r6 (icetable CDC scan)
     "ice_source_read",           # new r6 (icetable python data source)
     "ice_time_travel",           # new r6 (icetable snapshot layer)

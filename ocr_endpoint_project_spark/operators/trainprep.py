@@ -370,12 +370,111 @@ SELECT host, rank_ppm FROM r3
 """
 
 
+# ---------------------------------------------------------------------------
+# deterministic per-domain sampling: the k docs with the SMALLEST split
+# hash per source — a reproducible "reservoir" that needs no RNG state
+# and is stable under corpus growth within the kept set's hash range.
+# Plan: one shuffle on source for the window; at web scale source
+# cardinality is high (hosts), so the window partitions are small and
+# skew-free. Ties cannot happen (hash is over the unique doc_id).
+# ---------------------------------------------------------------------------
+
+SAMPLE_K = 20
+
+
+def q_train_sample_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = shingle_hash32(F.concat(F.lit("sample|"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", "lang", h.alias("h"))
+        .withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("sample_rank") <= SAMPLE_K)
+        .select("doc_id", "source", "lang", "sample_rank")
+    )
+
+
+_SQL_SAMPLE_H = SQL_SHINGLE_HASH32.format(s="'sample|' || CAST(doc_id AS VARCHAR)")
+
+SQL_TRAIN_SAMPLE_PER_DOMAIN = f"""
+SELECT doc_id, source, lang, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM (
+  SELECT doc_id, source, lang,
+         row_number() OVER (PARTITION BY source ORDER BY {_SQL_SAMPLE_H}, doc_id)
+             AS sample_rank
+  FROM documents
+)
+WHERE sample_rank <= {SAMPLE_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# vocabulary building (tokenizer prep): global token counts -> top-N
+# vocab with stable ids and cumulative-coverage ppm. Plan: explode ->
+# map-side partial count -> one shuffle on token; the top-N + running
+# coverage runs on the AGGREGATED table (vocab-sized, not corpus-sized).
+# Hub tokens ("the") are exactly the partial-agg case Spark combines
+# map-side, so the hot key never concentrates raw rows on one reducer.
+# ---------------------------------------------------------------------------
+
+VOCAB_N = 200
+
+
+def q_train_vocab_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        _docs(spark, sf_dir)
+        .select(F.explode(norm_tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    total = counts.groupBy().agg(F.sum("n").alias("t"))
+    # orderBy().limit() compiles to TakeOrderedAndProject — a per-partition
+    # top-N then a driver merge of N-row heads — so the billion-row tail of
+    # rare tokens never funnels through one window partition; only the
+    # final N rows see the (cheap) global window below
+    top = counts.orderBy(F.desc("n"), "token").limit(VOCAB_N)
+    w = Window.orderBy(F.desc("n"), "token")
+    return (
+        top.withColumn("token_id", F.row_number().over(w).cast("bigint"))
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "cum_coverage_ppm",
+            F.expr(
+                "sum(n) OVER (ORDER BY token_id ROWS UNBOUNDED PRECEDING)"
+                " * 1000000 div t"
+            ).cast("bigint"),
+        )
+        .select("token_id", "token", "n", "cum_coverage_ppm")
+    )
+
+
+SQL_TRAIN_VOCAB_TOPN = f"""
+WITH counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest({SQL_NORM_TOKENS.format(col='text')}) AS token FROM documents)
+  GROUP BY token
+), ranked AS (
+  SELECT token, n,
+         CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS token_id
+  FROM counts
+)
+SELECT token_id, token, n,
+       CAST(sum(n) OVER (ORDER BY token_id ROWS UNBOUNDED PRECEDING)
+            * 1000000 // (SELECT sum(n) FROM counts) AS BIGINT)
+           AS cum_coverage_ppm
+FROM ranked
+WHERE token_id <= {VOCAB_N}
+"""
+
+
 QUERIES = {
     "train_split_assign": q_train_split_assign,
     "train_split_summary": q_train_split_summary,
     "train_pack_sequences": q_train_pack_sequences,
     "train_mix_weights": q_train_mix_weights,
     "web_host_pagerank": q_web_host_pagerank,
+    "train_sample_per_domain": q_train_sample_per_domain,
+    "train_vocab_topn": q_train_vocab_topn,
 }
 
 ORACLES = {
@@ -384,4 +483,6 @@ ORACLES = {
     "train_pack_sequences": SQL_TRAIN_PACK_SEQUENCES,
     "train_mix_weights": SQL_TRAIN_MIX_WEIGHTS,
     "web_host_pagerank": SQL_WEB_HOST_PAGERANK,
+    "train_sample_per_domain": SQL_TRAIN_SAMPLE_PER_DOMAIN,
+    "train_vocab_topn": SQL_TRAIN_VOCAB_TOPN,
 }

@@ -77,3 +77,29 @@ def test_pagerank_floor_and_sources(spark):
             assert r == 150_000  # no in-links -> exactly the floor
     # dangling mass is dropped, so total rank never exceeds the injected total
     assert sum(ranks.values()) <= len(ranks) * 1_000_000
+
+
+def test_sample_per_domain_deterministic_topk(spark):
+    a = tp.q_train_sample_per_domain(spark, SF).collect()
+    b = tp.q_train_sample_per_domain(spark, SF).collect()
+    assert sorted((r.doc_id, r.sample_rank) for r in a) == sorted(
+        (r.doc_id, r.sample_rank) for r in b
+    )
+    by_src = {}
+    for r in a:
+        by_src.setdefault(r.source, []).append(r.sample_rank)
+    for src, ranks in by_src.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= tp.SAMPLE_K
+
+
+def test_vocab_topn_ordering_and_coverage(spark):
+    rows = tp.q_train_vocab_topn(spark, SF).collect()
+    rows.sort(key=lambda r: r.token_id)
+    # descending counts, ids dense from 1
+    assert [r.token_id for r in rows] == list(range(1, len(rows) + 1))
+    assert all(a.n >= b.n for a, b in zip(rows, rows[1:]))
+    # coverage is monotone and ends <= 1e6
+    cov = [r.cum_coverage_ppm for r in rows]
+    assert cov == sorted(cov)
+    assert cov[-1] <= 1_000_000
