@@ -288,6 +288,9 @@ FROM scaled
 # web scale the edge table partitions on src and AQE handles hub skew.
 # Graph synthesized deterministically from the events table (no link
 # column exists in the corpus): src = user_id % H, dst = event_id % H.
+# Three unrolled iterations keep the lineage shallow; a deeper run would
+# localCheckpoint each round exactly like the connected-components loop
+# in operators/cluster.py (plans stay O(1) per iteration).
 # ---------------------------------------------------------------------------
 
 _PR_HOSTS = 40
@@ -421,13 +424,18 @@ VOCAB_N = 200
 
 
 def q_train_vocab_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
     counts = (
-        _docs(spark, sf_dir)
-        .select(F.explode(norm_tokens("text")).alias("token"))
+        docs.select(F.explode(norm_tokens("text")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
-    total = counts.groupBy().agg(F.sum("n").alias("t"))
+    # the denominator is just the corpus token count — a map+agg over the
+    # docs table, NOT a second pass over the exploded/grouped counts
+    # (which would recompute the token shuffle for one scalar)
+    total = docs.groupBy().agg(
+        F.sum(token_count("text").cast("bigint")).alias("t")
+    )
     # orderBy().limit() compiles to TakeOrderedAndProject — a per-partition
     # top-N then a driver merge of N-row heads — so the billion-row tail of
     # rare tokens never funnels through one window partition; only the
