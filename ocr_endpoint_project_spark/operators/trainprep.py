@@ -47,9 +47,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# deterministic train/val/test split (reference: the benchmark harness's
-# fixed eval subsets, benchmark_runner.py golden-set selection; generalized
-# to the hash-bucket split every large-corpus training run uses)
+# deterministic train/val/test split (reference analog: the fixed
+# ground-truth eval corpus, pages/2_OCR_Benchmark.py:62 DB_DIR —
+# generalized to the hash-bucket split a large-corpus training run uses
+# so the held-out set stays fixed as the corpus grows)
 # ---------------------------------------------------------------------------
 
 _SPLIT_BUCKETS = 1000
