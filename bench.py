@@ -52,6 +52,8 @@ HEADLINE = [
     "dedup_substring_rebuild",
     "text_winnow_fingerprint",
     "pipeline_training_prep",
+    "train_pack_sequences",
+    "train_vocab_topn",
     "word_metrics_kernel",
     "extract_roundtrip",
 ]
