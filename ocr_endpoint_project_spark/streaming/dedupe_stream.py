@@ -192,6 +192,46 @@ def stream_dedupe(
     return writer.start()
 
 
+def stream_dedupe_icetable(
+    spark: SparkSession,
+    table_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Incremental dedup fed by an ICETABLE instead of a directory: the
+    ``icetable`` data source (sources/icetable_source.py) turns the
+    table's snapshot log into the offset axis, so each committed append
+    becomes exactly one dedup micro-batch and a restarted query resumes
+    at the last processed snapshot via Spark's checkpoint. This is the
+    production shape for "dedupe a continuously-ingested corpus table":
+    the ingest side appends snapshots, the dedup side consumes them
+    exactly once — no file-listing race, no shared directory contract.
+
+    The table must carry ``doc_id``/``text`` columns; everything else
+    (partition column, ``_commit_snapshot_id``) is dropped before the
+    batch handler so state/output schemas match :func:`stream_dedupe`.
+    """
+    from ..sources.icetable_source import IcetableDataSource
+
+    spark.dataSource.register(IcetableDataSource)
+    docs = (
+        spark.readStream.format("icetable")
+        .option("path", table_dir)
+        .load()
+        .select("doc_id", "text")
+    )
+    writer = (
+        docs.writeStream.foreachBatch(make_batch_handler(spark, out_dir, state_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 COMPACTED_BATCH_ID = -1  # sentinel for folded rows in the shingle-df state
 
 

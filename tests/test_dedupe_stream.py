@@ -350,3 +350,35 @@ def test_shingle_df_compaction_swap_crash_recovery(spark, tmp_path):
     kept = {r["doc_id"] for r in spark.read.parquet(dirs["out"]).collect()}
     assert kept == {1, 5, 12}  # cross-batch dup 11 still caught
     assert 999 not in cum()  # state restored, not re-created empty
+
+
+def test_stream_dedupe_from_icetable_matches_batch(spark, tmp_path):
+    """Dedup fed by the icetable data source: one committed append = one
+    micro-batch, checkpoint resumes at the last processed snapshot, and
+    the keeper set equals the batch path over the full corpus."""
+    from ocr_endpoint_project_spark.operators.dedup import minhash_lsh_pairs
+    from ocr_endpoint_project_spark.pipeline.dedupe import dedupe_corpus
+    from ocr_endpoint_project_spark.sources.icetable import IceTable
+    from ocr_endpoint_project_spark.streaming import stream_dedupe_icetable
+
+    tdir = str(tmp_path / "table")
+    dirs = {k: str(tmp_path / k) for k in ("out", "ckpt", "state")}
+    t = IceTable.create(tdir, partition_col=None, stat_cols=["doc_id"])
+    t.append(spark.createDataFrame(BATCH1, "doc_id long, text string"))
+    q = stream_dedupe_icetable(spark, tdir, dirs["out"], dirs["ckpt"], dirs["state"])
+    q.awaitTermination(120)
+    t.append(spark.createDataFrame(BATCH2, "doc_id long, text string"))
+    q = stream_dedupe_icetable(spark, tdir, dirs["out"], dirs["ckpt"], dirs["state"])
+    q.awaitTermination(120)
+
+    stream_kept = {r["doc_id"] for r in spark.read.parquet(dirs["out"]).collect()}
+    docs = spark.createDataFrame(BATCH1 + BATCH2, "doc_id long, text string")
+    batch_kept = {
+        r["doc_id"]
+        for r in dedupe_corpus(docs, pairs=minhash_lsh_pairs(docs)).collect()
+    }
+    assert stream_kept == batch_kept == {1, 5, 12}
+    # replay with nothing new: no growth
+    q = stream_dedupe_icetable(spark, tdir, dirs["out"], dirs["ckpt"], dirs["state"])
+    q.awaitTermination(120)
+    assert spark.read.parquet(dirs["out"]).count() == len(stream_kept)
