@@ -46,6 +46,7 @@ _DRIVER_FIRST = (
     "web_host_pagerank",         # new r6
     "train_sample_per_domain",   # new r6
     "train_vocab_topn",          # new r6
+    "train_curriculum",          # new r6
     "ice_changelog",             # new r6 (icetable CDC scan)
     "ice_source_read",           # new r6 (icetable python data source)
     "ice_time_travel",           # new r6 (icetable snapshot layer)

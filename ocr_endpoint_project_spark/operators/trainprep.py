@@ -476,6 +476,60 @@ WHERE token_id <= {VOCAB_N}
 """
 
 
+# ---------------------------------------------------------------------------
+# curriculum phases: docs ranked by the hashed-linear quality logit and
+# cut into quartile phases (phase 1 = cleanest; train easy->hard). A
+# GLOBAL ntile would sort the corpus through one partition, so phases are
+# assigned within hash shards — per-shard quartiles converge to the
+# global ones by exchangeability of the hash assignment, and each
+# shard's window is independently bounded (same scaling argument as the
+# packing shards above). Ordering (logit desc, doc_id) is total, so
+# ntile is deterministic in both engines.
+# ---------------------------------------------------------------------------
+
+CURRICULUM_PHASES = 4
+
+
+def q_train_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = norm_tokens("text")
+    logit = F.aggregate(
+        F.transform(toks, lambda t: shingle_hash32(t) % 2001 - 1000),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    shard = (
+        shingle_hash32(F.concat(F.lit("shard|"), F.col("doc_id").cast("string")))
+        % N_SHARDS
+    ).cast("bigint")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", shard.alias("shard"), logit.alias("logit")
+    )
+    w = Window.partitionBy("shard").orderBy(F.desc("logit"), "doc_id")
+    return docs.select(
+        "doc_id",
+        "shard",
+        "logit",
+        F.ntile(CURRICULUM_PHASES).over(w).cast("bigint").alias("phase"),
+    )
+
+
+SQL_TRAIN_CURRICULUM = f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST({_SQL_SHARD} AS BIGINT) AS shard,
+         CAST(coalesce(list_sum(list_transform({SQL_NORM_TOKENS.format(col='text')},
+             t -> {SQL_SHINGLE_HASH32.format(s='t')} % 2001 - 1000)), 0) AS BIGINT)
+             AS logit
+  FROM documents
+)
+SELECT doc_id, shard, logit,
+       CAST(ntile({CURRICULUM_PHASES})
+            OVER (PARTITION BY shard ORDER BY logit DESC, doc_id) AS BIGINT)
+           AS phase
+FROM scored
+"""
+
+
 QUERIES = {
     "train_split_assign": q_train_split_assign,
     "train_split_summary": q_train_split_summary,
@@ -484,6 +538,7 @@ QUERIES = {
     "web_host_pagerank": q_web_host_pagerank,
     "train_sample_per_domain": q_train_sample_per_domain,
     "train_vocab_topn": q_train_vocab_topn,
+    "train_curriculum": q_train_curriculum,
 }
 
 ORACLES = {
@@ -494,4 +549,5 @@ ORACLES = {
     "web_host_pagerank": SQL_WEB_HOST_PAGERANK,
     "train_sample_per_domain": SQL_TRAIN_SAMPLE_PER_DOMAIN,
     "train_vocab_topn": SQL_TRAIN_VOCAB_TOPN,
+    "train_curriculum": SQL_TRAIN_CURRICULUM,
 }

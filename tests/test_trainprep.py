@@ -103,3 +103,19 @@ def test_vocab_topn_ordering_and_coverage(spark):
     cov = [r.cum_coverage_ppm for r in rows]
     assert cov == sorted(cov)
     assert cov[-1] <= 1_000_000
+
+
+def test_curriculum_phases_balanced_and_ordered(spark):
+    rows = tp.q_train_curriculum(spark, SF).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: (-r.logit, r.doc_id))
+        # phases are non-decreasing along the quality ordering
+        phases = [r.phase for r in rs]
+        assert phases == sorted(phases)
+        assert set(phases) <= set(range(1, tp.CURRICULUM_PHASES + 1))
+        # ntile balance: sizes differ by at most 1
+        sizes = [phases.count(p) for p in sorted(set(phases))]
+        assert max(sizes) - min(sizes) <= 1
