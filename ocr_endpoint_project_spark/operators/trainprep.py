@@ -70,18 +70,24 @@ _SQL_BUCKET = (
 )
 
 
-def q_train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-bucket split: stable per doc, no RNG, no shuffle. Adding or
-    removing documents never reassigns survivors (unlike randomSplit)."""
+def split_assign(docs: DataFrame) -> DataFrame:
+    """Hash-bucket split over any (doc_id, ...) frame: stable per doc,
+    no RNG, no shuffle. Adding or removing documents never reassigns
+    survivors (unlike randomSplit)."""
     bucket = _bucket_expr()
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        "lang",
-        bucket.cast("bigint").alias("bucket"),
-        F.when(bucket < _TEST_LT, F.lit("test"))
-        .when(bucket < _VAL_LT, F.lit("val"))
-        .otherwise(F.lit("train"))
-        .alias("split"),
+    return docs.withColumns(
+        {
+            "bucket": bucket.cast("bigint"),
+            "split": F.when(bucket < _TEST_LT, F.lit("test"))
+            .when(bucket < _VAL_LT, F.lit("val"))
+            .otherwise(F.lit("train")),
+        }
+    )
+
+
+def q_train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return split_assign(_docs(spark, sf_dir)).select(
+        "doc_id", "lang", "bucket", "split"
     )
 
 
@@ -144,12 +150,13 @@ N_SHARDS = 8
 PACK_TOKENS = 256
 
 
-def q_train_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pack_sequences(in_docs: DataFrame) -> DataFrame:
+    """Concat-and-chunk packing manifest over any (doc_id, text) frame."""
     shard = (
         shingle_hash32(F.concat(F.lit("shard|"), F.col("doc_id").cast("string")))
         % N_SHARDS
     ).cast("bigint")
-    docs = _docs(spark, sf_dir).select(
+    docs = in_docs.select(
         "doc_id",
         shard.alias("shard"),
         token_count("text").cast("bigint").alias("n_tokens"),
@@ -189,6 +196,10 @@ def q_train_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0).cast("bigint"))
         .alias("n_packs_spanned"),
     )
+
+
+def q_train_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_sequences(_docs(spark, sf_dir))
 
 
 _SQL_SHARD = (

@@ -178,3 +178,52 @@ def test_stream_dedupe_job_incremental_runs(spark, tmp_path):
     # 3 dups against state; 4 is fresh
     assert s2["docs_in"] == 4 and s2["keepers"] == 2 and s2["dups_dropped"] == 2
     assert s2["state_compaction"]["rows_after"] <= s2["state_compaction"]["rows_before"]
+
+
+@pytest.mark.slow
+def test_spark_submit_trainprep_job(spark, tmp_path):
+    """The training-prep chain end-to-end via real spark-submit: exact +
+    near dedup, quality filter, split, and a pack-manifest icetable
+    snapshot whose offsets tile each shard."""
+    out_dir = str(tmp_path / "out")
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable)
+    cmd = [
+        "spark-submit",
+        "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        os.path.join(REPO, "jobs", "trainprep_job.py"),
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out_dir,
+        "--partitions", "8",
+    ]
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=420, env=env, cwd=REPO)
+    assert res.returncode == 0, res.stderr[-2000:]
+    stats = json.loads([l for l in res.stdout.splitlines() if l.startswith("{")][-1])
+    assert stats["docs_in"] == 500
+    assert (
+        stats["docs_in"]
+        >= stats["after_exact_dedup"]
+        >= stats["after_near_dedup"]
+        >= stats["after_quality_filter"]
+        > 0
+    )
+    assert stats["after_near_dedup"] < stats["docs_in"]  # corpus has near-dups
+    assert sum(stats["split_counts"].values()) == stats["after_quality_filter"]
+    assert stats["manifest_snapshot_id"] == 1
+
+    from ocr_endpoint_project_spark.sources.icetable import IceTable
+
+    manifest = IceTable.load(os.path.join(out_dir, "pack_manifest_ice")).scan(spark)
+    rows = manifest.collect()
+    assert len(rows) == stats["split_counts"].get("train", 0)
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for rs in by_shard.values():
+        rs.sort(key=lambda r: r.doc_id)
+        off = 0
+        for r in rs:
+            assert r.tok_start == off
+            off = r.tok_end
+    assert stats["train_packs"] > 0
