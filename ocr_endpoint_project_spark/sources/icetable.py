@@ -342,6 +342,41 @@ class IceTable:
 
         return self._commit("append", build)
 
+    def commit_appended_entries(
+        self,
+        entries: list[dict],
+        extra_summary: dict | None = None,
+        idempotency_key: str | None = None,
+    ) -> dict:
+        """Metadata-only append commit for data files ALREADY in place
+        (the two-phase-commit path: executors write files and report
+        manifest entries, the driver commits them here — used by the
+        streaming sink in ``icetable_source.py``).
+
+        ``idempotency_key``: if a snapshot already carries this key in
+        its summary the commit is skipped and that snapshot returned —
+        a replayed micro-batch after a crash between table commit and
+        the engine's checkpoint ack commits exactly once.
+        """
+        if idempotency_key is not None:
+            for s in self.metadata()["snapshots"]:
+                if s["summary"].get("idempotency_key") == idempotency_key:
+                    return s
+
+        def build(meta: dict, seq: int, token: str):
+            name = f"manifest-{seq}-{token}-0.json"
+            _write_json(os.path.join(self.meta_dir, name), entries)
+            parent = self._current_manifest_names(meta)
+            summary = self._manifest_summary(entries)
+            summary["added_files"] = summary.pop("files")
+            if extra_summary:
+                summary.update(extra_summary)
+            if idempotency_key is not None:
+                summary["idempotency_key"] = idempotency_key
+            return parent + [{"name": name, **self._manifest_summary(entries)}], summary
+
+        return self._commit("append", build)
+
     def overwrite_partitions(self, df: DataFrame, extra_summary: dict | None = None) -> dict:
         """Dynamic partition overwrite: replace exactly the partitions in ``df``.
 

@@ -138,3 +138,91 @@ def test_batch_read_null_fills_evolved_schema(spark, tmp_path):
     notes = {r.k: r.note for r in got.collect()}
     assert all(notes[k] is None for k in range(20))
     assert all(notes[k] == f"n{k}" for k in range(20, 30))
+
+
+def test_stream_writer_sink_commits_snapshots(spark, tmp_path):
+    """writeStream.format('icetable'): each micro-batch lands as one
+    append snapshot via two-phase commit, readable by scan() and the
+    batch reader, tagged with stream_batch_id + idempotency key."""
+    src = str(tmp_path / "src")
+    tdir = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    t = IceTable.create(tdir, partition_col="part", stat_cols=["k"])
+
+    def feed(lo, hi):
+        _df(spark, lo, hi).coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        q = (
+            spark.readStream.schema("k long, v long, part int")
+            .parquet(src)
+            .writeStream.format("icetable")
+            .option("path", tdir)
+            .option("runId", "runA")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    feed(0, 30)
+    drain()
+    feed(30, 50)
+    drain()
+    got = t.scan(spark)
+    assert {r.k for r in got.collect()} == set(range(50))
+    snaps = t.snapshots()
+    assert [s["operation"] for s in snaps] == ["append", "append"]
+    assert [s["summary"]["stream_batch_id"] for s in snaps] == [0, 1]
+    assert [s["summary"]["idempotency_key"] for s in snaps] == ["runA:0", "runA:1"]
+    # hive partition layout holds (partition pruning works on sink output)
+    assert t.scan(spark, partition_values={1}).filter("k % 4 != 1").count() == 0
+
+
+def test_stream_writer_replayed_batch_commits_once(spark, tmp_path):
+    """Crash between table commit and checkpoint ack => Spark re-runs the
+    batch. The idempotency key skips the second commit and removes the
+    replayed attempt's files."""
+    import glob
+
+    from ocr_endpoint_project_spark.sources.icetable_source import (
+        IcetableStreamWriter,
+    )
+
+    tdir = str(tmp_path / "t")
+    t = IceTable.create(tdir, partition_col=None, stat_cols=["k"])
+    schema = _df(spark, 0, 10).drop("part").schema
+    w = IcetableStreamWriter(schema, {"path": tdir, "runid": "r1"})
+    rows = _df(spark, 0, 10).drop("part").collect()
+    msg1 = w.write(iter(rows))
+    w.commit([msg1], batchId=0)
+    assert len(t.snapshots()) == 1
+    n_files = len(glob.glob(os.path.join(tdir, "data", "*.parquet")))
+    # replay: a fresh task attempt writes new files, commit must no-op
+    msg2 = w.write(iter(rows))
+    w.commit([msg2], batchId=0)
+    assert len(t.snapshots()) == 1
+    assert len(glob.glob(os.path.join(tdir, "data", "*.parquet"))) == n_files
+    assert t.scan(spark).count() == 10
+    # next batch commits normally
+    msg3 = w.write(iter(_df(spark, 10, 15).drop("part").collect()))
+    w.commit([msg3], batchId=1)
+    assert t.scan(spark).count() == 15
+
+
+def test_stream_writer_abort_removes_files(spark, tmp_path):
+    import glob
+
+    from ocr_endpoint_project_spark.sources.icetable_source import (
+        IcetableStreamWriter,
+    )
+
+    tdir = str(tmp_path / "t")
+    t = IceTable.create(tdir, partition_col=None, stat_cols=["k"])
+    schema = _df(spark, 0, 10).drop("part").schema
+    w = IcetableStreamWriter(schema, {"path": tdir})
+    msg = w.write(iter(_df(spark, 0, 10).drop("part").collect()))
+    assert glob.glob(os.path.join(tdir, "data", "*.parquet"))
+    w.abort([msg], batchId=0)
+    assert not glob.glob(os.path.join(tdir, "data", "*.parquet"))
+    assert t.snapshots() == []
