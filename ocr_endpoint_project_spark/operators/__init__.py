@@ -17,6 +17,7 @@ from . import (
     similarity,
     textstats,
     trainprep,
+    webcrawl,
 )
 
 _MODULES = (
@@ -29,6 +30,7 @@ _MODULES = (
     similarity,
     textstats,
     trainprep,
+    webcrawl,
 )
 
 
@@ -47,6 +49,7 @@ _DRIVER_FIRST = (
     "train_sample_per_domain",   # new r6
     "train_vocab_topn",          # new r6
     "train_curriculum",          # new r6
+    "web_robots_frontier",       # new r6 (crawl policy + frontier)
     "ice_changelog",             # new r6 (icetable CDC scan)
     "ice_source_read",           # new r6 (icetable python data source)
     "ice_time_travel",           # new r6 (icetable snapshot layer)
