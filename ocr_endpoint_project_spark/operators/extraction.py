@@ -885,9 +885,9 @@ def q_ice_source_read(spark, sf_dir):
     import tempfile
 
     from ..sources.icetable import IceTable
-    from ..sources.icetable_source import IcetableDataSource
+    from ..sources.icetable_source import register_icetable
 
-    spark.dataSource.register(IcetableDataSource)
+    register_icetable(spark)
     base = _docs(spark, sf_dir).select(
         "doc_id",
         F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("part"),

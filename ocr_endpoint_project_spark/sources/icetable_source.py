@@ -47,6 +47,15 @@ from .icetable import IceTable
 META_COL = "_commit_snapshot_id"
 
 
+def register_icetable(spark) -> None:
+    """Register the data source AND enable Python filter pushdown: Spark
+    hard-fails any reader that implements ``pushFilters`` while
+    ``spark.sql.python.filterPushdown.enabled`` is false (it is false by
+    default and runtime-settable), so registration owns the conf."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(IcetableDataSource)
+
+
 @dataclass
 class IceFilePartition(InputPartition):
     """One data file; picklable, self-contained (executors never touch
@@ -140,9 +149,63 @@ def _file_partitions(
 
 
 class IcetableBatchReader(DataSourceReader):
+    """Batch scan with FILTER PUSHDOWN into the metadata layer: equality
+    / IN predicates on the partition column prune whole manifests, and
+    range predicates on stat columns skip files by their footer
+    [min,max] — both before Spark ever enumerates a file.  Pruning is
+    conservative (a kept file may still hold non-matching rows), so
+    every filter is returned for Spark to re-apply; the pushdown only
+    shrinks I/O, never changes semantics."""
+
     def __init__(self, schema: StructType, options):
         self._schema = schema
         self._table_dir = options["path"]
+        meta = IceTable.load(self._table_dir).metadata()
+        self._pcol = meta["partition_col"]
+        self._stat_cols = set(meta["stat_cols"] or [])
+        self._part_values: set | None = None
+        self._ranges: dict[str, list] = {}  # col -> [lo, hi]
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        def _narrow(col, lo=None, hi=None):
+            r = self._ranges.setdefault(col, [None, None])
+            if lo is not None:
+                r[0] = lo if r[0] is None else max(r[0], lo)
+            if hi is not None:
+                r[1] = hi if r[1] is None else min(r[1], hi)
+
+        for f in filters:
+            col = f.attribute[-1] if len(getattr(f, "attribute", ())) == 1 else None
+            if col == self._pcol and isinstance(f, EqualTo):
+                vals = {f.value}
+                self._part_values = (
+                    vals if self._part_values is None else self._part_values & vals
+                )
+            elif col == self._pcol and isinstance(f, In):
+                vals = set(f.values)
+                self._part_values = (
+                    vals if self._part_values is None else self._part_values & vals
+                )
+            elif col in self._stat_cols and isinstance(f, EqualTo):
+                _narrow(col, lo=f.value, hi=f.value)
+            elif col in self._stat_cols and isinstance(
+                f, (GreaterThan, GreaterThanOrEqual)
+            ):
+                _narrow(col, lo=f.value)
+            elif col in self._stat_cols and isinstance(
+                f, (LessThan, LessThanOrEqual)
+            ):
+                _narrow(col, hi=f.value)
+        return filters  # pruning only — Spark re-evaluates everything
 
     def partitions(self):
         t = IceTable.load(self._table_dir)
@@ -158,6 +221,11 @@ class IcetableBatchReader(DataSourceReader):
 
                 for e in _read_json(os.path.join(t.meta_dir, m["name"])):
                     first_seen.setdefault(e["path"], s["snapshot_id"])
+        planned = t.plan_files(
+            partition_values=self._part_values,
+            stats_ranges={c: (lo, hi) for c, (lo, hi) in self._ranges.items()}
+            or None,
+        )
         return [
             IceFilePartition(
                 path=os.path.join(self._table_dir, e["path"]),
@@ -165,7 +233,7 @@ class IcetableBatchReader(DataSourceReader):
                 part_value=e["partition"],
                 snapshot_id=first_seen.get(e["path"], meta["current_snapshot_id"]),
             )
-            for e in t.plan_files()
+            for e in planned
         ]
 
     def read(self, partition: IceFilePartition):

@@ -213,9 +213,9 @@ def stream_dedupe_icetable(
     (partition column, ``_commit_snapshot_id``) is dropped before the
     batch handler so state/output schemas match :func:`stream_dedupe`.
     """
-    from ..sources.icetable_source import IcetableDataSource
+    from ..sources.icetable_source import register_icetable
 
-    spark.dataSource.register(IcetableDataSource)
+    register_icetable(spark)
     docs = (
         spark.readStream.format("icetable")
         .option("path", table_dir)
