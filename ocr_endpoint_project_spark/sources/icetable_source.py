@@ -248,6 +248,14 @@ class IcetableStreamReader(DataSourceStreamReader):
         self._skip_non_append = str(
             options.get("skipnonappend", "false")
         ).lower() in ("true", "1")
+        # backpressure: a micro-batch consumes at most this many
+        # snapshots, so a consumer catching up on a long backlog gets
+        # bounded batches instead of one giant one (the analog of
+        # maxFilesPerTrigger for file streams). For CONTINUOUS triggers
+        # only: Trigger.AvailableNow reads latestOffset once, so the cap
+        # would bound the whole run, not each batch
+        self._max_snaps = int(options.get("maxsnapshotspertrigger", 0)) or None
+        self._last_end = self._start
 
     def initialOffset(self) -> dict:
         return {"snapshot_id": self._start}
@@ -255,10 +263,16 @@ class IcetableStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         meta = IceTable.load(self._table_dir).metadata()
         cur = meta["current_snapshot_id"]
-        return {"snapshot_id": int(cur) if cur is not None else self._start}
+        head = int(cur) if cur is not None else self._start
+        if self._max_snaps is not None:
+            head = min(head, self._last_end + self._max_snaps)
+        self._last_end = max(self._last_end, head)
+        return {"snapshot_id": head}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["snapshot_id"], end["snapshot_id"]
+        # restart sync: the checkpointed start may be past our cap base
+        self._last_end = max(self._last_end, lo)
         if hi <= lo:
             return []
         t = IceTable.load(self._table_dir)

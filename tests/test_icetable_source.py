@@ -266,3 +266,39 @@ def test_batch_reader_filter_pushdown_prunes_files(spark, tmp_path):
         .collect()
     )
     assert {r_.k for r_ in got} == {k for k in range(40, 80) if k % 4 == 1}
+
+
+def test_stream_rate_limit_bounds_batches(spark, tmp_path):
+    """maxSnapshotsPerTrigger: with a continuous trigger, a 3-snapshot
+    backlog drains as 3 bounded micro-batches (one snapshot each)
+    instead of one giant catch-up batch."""
+    import time
+
+    tdir = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    t = IceTable.create(tdir, partition_col="part", stat_cols=["k"])
+    s = [t.append(_df(spark, i * 10, (i + 1) * 10)) for i in range(3)]
+    batches: list = []
+    q = (
+        spark.readStream.format("icetable")
+        .option("path", tdir)
+        .option("maxSnapshotsPerTrigger", "1")
+        .load()
+        .writeStream.foreachBatch(
+            lambda bdf, bid: batches.append(
+                sorted({r._commit_snapshot_id for r in bdf.collect()})
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline and len([b for b in batches if b]) < 3:
+        time.sleep(1)
+    q.stop()
+    q.awaitTermination(60)
+    non_empty = [b for b in batches if b]
+    assert non_empty[:3] == [
+        [s[0]["snapshot_id"]], [s[1]["snapshot_id"]], [s[2]["snapshot_id"]]
+    ]
