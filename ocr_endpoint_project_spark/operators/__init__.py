@@ -50,6 +50,7 @@ _DRIVER_FIRST = (
     "train_vocab_topn",          # new r6
     "train_curriculum",          # new r6
     "web_robots_frontier",       # new r6 (crawl policy + frontier)
+    "web_recrawl_dedup",         # new r6 (canonical-url recrawl collapse)
     "ice_changelog",             # new r6 (icetable CDC scan)
     "ice_source_read",           # new r6 (icetable python data source)
     "ice_time_travel",           # new r6 (icetable snapshot layer)

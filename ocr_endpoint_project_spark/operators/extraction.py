@@ -962,6 +962,68 @@ FROM states GROUP BY snap, part
 """
 
 
+# ---------------------------------------------------------------------------
+# recrawl collapse: the FIRST dedup stage of a crawl pipeline — multiple
+# crawl records of the same page (messy url variants, later timestamps)
+# collapse onto one canonical row. Hot-key-safe shape: group on the
+# canonical url, the agg output IS the keeper (earliest crawl); a
+# popular page recrawled a million times is one reducer key with
+# map-side partial aggregation, never a join back on the hot url.
+# ---------------------------------------------------------------------------
+
+
+def q_web_recrawl_dedup(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    clean = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/doc/"), F.col("doc_id")
+        ).alias("url"),
+        (F.col("doc_id") * 2).cast("bigint").alias("crawl_ts"),
+    )
+    mod = F.pmod(F.col("doc_id"), F.lit(3))
+    messy = docs.select(
+        "doc_id",
+        F.when(
+            mod == 0,
+            F.concat(F.lit("HTTPS://"), F.upper("source"), F.lit(".EXAMPLE/doc/"),
+                     F.col("doc_id"), F.lit("#top")),
+        )
+        .when(
+            mod == 1,
+            F.concat(F.lit("https://"), F.col("source"), F.lit(".example/doc/"),
+                     F.col("doc_id"), F.lit("/")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://"), F.col("source"), F.lit(".example:443/doc/"),
+                     F.col("doc_id"), F.lit("?utm_source=rss")),
+        )
+        .alias("url"),
+        (F.col("doc_id") * 2 + 1).cast("bigint").alias("crawl_ts"),
+    )
+    crawls = clean.unionByName(messy)
+    return (
+        crawls.select(
+            "doc_id", canonicalize_url(F.col("url")).alias("canonical_url"), "crawl_ts"
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_crawls"),
+            F.min("crawl_ts").alias("first_ts"),
+            F.min("doc_id").alias("doc_id"),
+        )
+    )
+
+
+SQL_WEB_RECRAWL_DEDUP = """
+SELECT 'https://' || source || '.example/doc/' || doc_id AS canonical_url,
+       CAST(2 AS BIGINT) AS n_crawls,
+       CAST(doc_id * 2 AS BIGINT) AS first_ts,
+       doc_id
+FROM documents
+"""
+
+
 QUERIES = {
     "extract_roundtrip": q_extract_roundtrip,
     "ice_time_travel": q_ice_time_travel,
@@ -978,6 +1040,7 @@ QUERIES = {
     "web_host_rollup": q_web_host_rollup,
     "extract_error_taxonomy": q_extract_error_taxonomy,
     "web_url_canonicalize": q_url_canonicalize,
+    "web_recrawl_dedup": q_web_recrawl_dedup,
     "ocr_glyph_roundtrip": q_ocr_glyph_roundtrip,
     "ocr_jpeg_roundtrip": q_ocr_jpeg_roundtrip,
 }
@@ -1052,6 +1115,7 @@ ORACLES = {
     "web_host_rollup": SQL_WEB_HOST_ROLLUP,
     "extract_error_taxonomy": SQL_ERROR_TAXONOMY,
     "web_url_canonicalize": SQL_URL_CANONICALIZE,
+    "web_recrawl_dedup": SQL_WEB_RECRAWL_DEDUP,
     "ocr_glyph_roundtrip": SQL_OCR_GLYPH,
     "ocr_jpeg_roundtrip": SQL_OCR_JPEG,
 }
