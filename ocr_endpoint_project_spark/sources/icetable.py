@@ -451,7 +451,11 @@ class IceTable:
     def _manifest_list_for(self, meta: dict, snap_id: int | None) -> list[dict]:
         if snap_id is None:
             return []
-        entry = next(s for s in meta["snapshots"] if s["snapshot_id"] == snap_id)
+        entry = next(
+            (s for s in meta["snapshots"] if s["snapshot_id"] == snap_id), None
+        )
+        if entry is None:
+            raise ValueError(f"snapshot {snap_id} unknown or expired")
         return _read_json(os.path.join(self.meta_dir, entry["manifest_list"]))
 
     def _current_manifest_names(self, meta: dict) -> list[dict]:
@@ -657,6 +661,11 @@ class IceTable:
         snaps = self._snapshot_range(meta, from_snapshot_id, to_snapshot_id)
         files = []
         for s in snaps:
+            if s["operation"] == "expire":
+                # metadata-only commit: the table's logical contents are
+                # unchanged (current manifests carried over) and its
+                # parent has been trimmed from the log — no row images
+                continue
             added, removed = self._file_diff(meta, s)
             files.extend((s["snapshot_id"], "insert", e) for e in added)
             files.extend((s["snapshot_id"], "delete", e) for e in removed)

@@ -381,3 +381,22 @@ def test_changelog_scan_emits_cow_delete_insert(spark, tmp_path):
     ch2 = t.changelog_scan(spark, from_snapshot_id=s2["snapshot_id"]).collect()
     assert all(r._change_type == "insert" for r in ch2)
     assert {r.k for r in ch2} == set(range(100, 120))
+
+
+def test_changelog_across_expire_is_metadata_only(spark, tmp_path):
+    """An expire snapshot in the changelog range emits no row images (its
+    parent is trimmed from the log; the logical table is unchanged), and
+    a diff against an expired snapshot id fails cleanly."""
+    t = IceTable.create(str(tmp_path / "t"), partition_col="part", stat_cols=["k"])
+    s1 = t.append(_df(spark, 0, 40))
+    t.append(_df(spark, 40, 60))
+    exp = t.expire_snapshots(keep_last=1)
+    t.append(_df(spark, 60, 70))
+    # range crossing the expire entry: expire itself emits no row images
+    ch = t.changelog_scan(spark, from_snapshot_id=None).collect()
+    assert all(r._change_type == "insert" for r in ch)
+    assert {r.k for r in ch} == set(range(60, 70))
+    assert {r._commit_snapshot_id for r in ch} != {exp["snapshot_id"]}
+    # an expired snapshot id fails with a clear error, not StopIteration
+    with pytest.raises(ValueError):
+        t.changelog_scan(spark, from_snapshot_id=s1["snapshot_id"]).collect()
