@@ -726,13 +726,30 @@ class IceTable:
 
     # -- maintenance ------------------------------------------------------
 
-    def compact(self, spark: SparkSession, min_files: int = 2) -> dict | None:
+    def compact(
+        self,
+        spark: SparkSession,
+        min_files: int = 2,
+        sort_by: list[str] | None = None,
+        files_per_partition: int = 1,
+    ) -> dict | None:
         """Rewrite partitions fragmented into ``>= min_files`` data files
         as one file each (Iceberg's ``rewrite_data_files``), committed as
         an ordinary overwrite snapshot — readers of prior snapshots keep
         the old files, time travel still sees every state, and a crash
         mid-compaction leaves the table untouched.  Returns the snapshot,
         or None when nothing is fragmented.
+
+        ``sort_by``: Iceberg's sort-order rewrite — rewritten rows are
+        clustered on these columns (default: ``stat_cols`` — stats you
+        collect are stats you want skippable). With
+        ``files_per_partition=1`` this tightens parquet ROW-GROUP stats
+        (reader-side skipping); set ``files_per_partition > 1`` to
+        range-split each partition into that many sorted files, giving
+        every FILE a tight min/max slice in the manifest, so
+        ``plan_files(stats_ranges=...)`` / reader ``pushFilters`` prune
+        compacted data they could not prune while appends interleaved
+        the key space.
         """
         from collections import Counter
 
@@ -746,9 +763,23 @@ class IceTable:
             return None
         # one exchange keyed on pcol: every partition VALUE lands whole in
         # one task, so partitionBy writes exactly one file per partition
-        df = self.scan(spark, partition_values=targets).repartition(
-            max(len(targets), 1), pcol
-        )
+        scanned = self.scan(spark, partition_values=targets)
+        order = sort_by if sort_by is not None else (meta["stat_cols"] or None)
+        if order and files_per_partition > 1:
+            # range-clustered rewrite: tasks hold contiguous (pcol, keys)
+            # slices, so partitionBy splits each partition value into
+            # sorted files with disjoint key ranges
+            from pyspark.sql import functions as _F
+
+            df = scanned.repartitionByRange(
+                max(len(targets), 1) * files_per_partition,
+                _F.col(pcol),
+                *[_F.col(c) for c in order],
+            ).sortWithinPartitions(pcol, *order)
+        else:
+            df = scanned.repartition(max(len(targets), 1), pcol)
+            if order:
+                df = df.sortWithinPartitions(*order)
         return self.overwrite_partitions(df, extra_summary={"compaction": True})
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:

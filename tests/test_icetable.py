@@ -400,3 +400,35 @@ def test_changelog_across_expire_is_metadata_only(spark, tmp_path):
     # an expired snapshot id fails with a clear error, not StopIteration
     with pytest.raises(ValueError):
         t.changelog_scan(spark, from_snapshot_id=s1["snapshot_id"]).collect()
+
+
+def test_sorted_compaction_tightens_file_skipping(spark, tmp_path):
+    """Sort-order rewrite: interleaved appends give every file the full
+    key range (min/max skipping prunes nothing); compaction sorted on
+    the stat column leaves one tight-range file per partition, so a
+    range scan plans fewer files."""
+    t = IceTable.create(str(tmp_path / "t"), partition_col="part", stat_cols=["k"])
+    # two appends with fully interleaved k (evens, then odds) in ONE
+    # partition value: every file spans ~[0, 99]
+    for lo in (0, 1):
+        t.append(
+            spark.range(0, 50)
+            .selectExpr(f"id * 2 + {lo} AS k", "id AS v", "CAST(0 AS INT) AS part")
+            .repartition(1)
+        )
+    # before compaction: a narrow k range still touches EVERY file
+    pre = t.plan_files(stats_ranges={"k": (90, 99)})
+    assert len(pre) == 2
+    t.compact(spark, files_per_partition=4)  # sort_by defaults to stat_cols
+    all_files = t.plan_files()
+    assert len(all_files) == 4
+    post = t.plan_files(stats_ranges={"k": (90, 99)})
+    assert len(post) == 1  # only the top range slice survives
+    # slices are disjoint: each file covers ~25 keys
+    spans = sorted((e["min"]["k"], e["max"]["k"]) for e in all_files)
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_hi < b_lo
+    # a range below every row prunes everything
+    assert t.plan_files(stats_ranges={"k": (1000, None)}) == []
+    # contents unchanged
+    assert {r.k for r in t.scan(spark).collect()} == set(range(100))
