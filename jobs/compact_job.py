@@ -76,17 +76,63 @@ def compact(spark, input_dir: str, output_dir: str, target_file_mb: int = 128) -
     }
 
 
+def compact_ice(
+    spark,
+    table_dir: str,
+    min_files: int = 2,
+    sort_by: list[str] | None = None,
+    files_per_partition: int = 1,
+) -> dict:
+    """In-place icetable compaction: IceTable.compact commits the
+    rewrite as an overwrite snapshot (readers swap atomically, time
+    travel keeps the fragmented state) — no output dir, no caller-side
+    swap. ``sort_by``/``files_per_partition`` enable the sort-order
+    rewrite with range-split files (manifest-level min/max skipping)."""
+    from ocr_endpoint_project_spark.sources.icetable import IceTable
+
+    t = IceTable.load(table_dir)
+    files_before = len(t.plan_files())
+    snap = t.compact(
+        spark,
+        min_files=min_files,
+        sort_by=sort_by,
+        files_per_partition=files_per_partition,
+    )
+    return {
+        "files_before": files_before,
+        "files_after": len(t.plan_files()),
+        "snapshot_id": None if snap is None else snap["snapshot_id"],
+        "compacted": snap is not None,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description="parquet small-file compaction")
     ap.add_argument("--input", required=True)
-    ap.add_argument("--output", required=True)
+    ap.add_argument("--output", help="output dir (plain-parquet mode)")
     ap.add_argument("--target-file-mb", type=int, default=128)
+    ap.add_argument("--ice", action="store_true",
+                    help="treat --input as an icetable; commit the rewrite as a snapshot")
+    ap.add_argument("--min-files", type=int, default=2)
+    ap.add_argument("--sort-by", help="comma-separated sort-order columns (ice mode)")
+    ap.add_argument("--files-per-partition", type=int, default=1)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.appName("compact").getOrCreate()
-    stats = compact(spark, args.input, args.output, args.target_file_mb)
+    if args.ice:
+        stats = compact_ice(
+            spark,
+            args.input,
+            min_files=args.min_files,
+            sort_by=args.sort_by.split(",") if args.sort_by else None,
+            files_per_partition=args.files_per_partition,
+        )
+    else:
+        if not args.output:
+            ap.error("--output is required without --ice")
+        stats = compact(spark, args.input, args.output, args.target_file_mb)
     print(json.dumps(stats))
     spark.stop()
 

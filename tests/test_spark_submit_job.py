@@ -227,3 +227,43 @@ def test_spark_submit_trainprep_job(spark, tmp_path):
             assert r.tok_start == off
             off = r.tok_end
     assert stats["train_packs"] > 0
+
+
+@pytest.mark.slow
+def test_spark_submit_compact_job_ice_mode(spark, tmp_path):
+    """--ice: in-place icetable compaction committed as a snapshot, with
+    the sort-order range-split rewrite."""
+    from ocr_endpoint_project_spark.sources.icetable import IceTable
+    from pyspark.sql import functions as F
+
+    tdir = str(tmp_path / "t")
+    t = IceTable.create(tdir, partition_col="part", stat_cols=["k"])
+    for lo in (0, 1):
+        t.append(
+            spark.range(0, 50)
+            .select(
+                (F.col("id") * 2 + lo).alias("k"),
+                F.col("id").alias("v"),
+                F.lit(0).cast("int").alias("part"),
+            )
+            .repartition(1)
+        )
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable)
+    cmd = [
+        "spark-submit",
+        "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        os.path.join(REPO, "jobs", "compact_job.py"),
+        "--input", tdir,
+        "--ice",
+        "--sort-by", "k",
+        "--files-per-partition", "4",
+    ]
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=300, env=env, cwd=REPO)
+    assert res.returncode == 0, res.stderr[-2000:]
+    stats = json.loads([l for l in res.stdout.splitlines() if l.startswith("{")][-1])
+    assert stats["compacted"] and stats["files_before"] == 2 and stats["files_after"] == 4
+    # range-split slices are live: a top-range scan plans one file
+    assert len(t.plan_files(stats_ranges={"k": (90, 99)})) == 1
+    assert {r.k for r in t.scan(spark).collect()} == set(range(100))
