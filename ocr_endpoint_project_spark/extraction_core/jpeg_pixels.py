@@ -213,6 +213,15 @@ def encode_jpeg_gray(pixels: np.ndarray, q: int = Q_SCAN) -> bytes:
     nblocks = zz.shape[0]
     dc_diff = np.diff(zz[:, 0], prepend=np.int64(0))
     dc_size = _bit_size(dc_diff)
+    # the fixed Annex-K tables encode DC categories 0..11 and AC
+    # categories 1..10 only; a small enough q can produce magnitudes
+    # beyond that, and _DC_CODE/_AC_CODE would silently read a
+    # zero-length code and emit a corrupt bitstream — reject instead
+    if dc_size.size and int(dc_size.max()) > 11:
+        raise ValueError(
+            f"quantization step q={q} yields DC category {int(dc_size.max())} > 11 "
+            "(not encodable with the baseline Annex-K DC table); raise q"
+        )
     # record layout: sort key b*260 + pos (DC=0, ZRL/AC 4..255, EOB=259)
     dc_keys = np.arange(nblocks, dtype=np.int64) * 260
     dc_bits = (_DC_CODE[dc_size] << dc_size) | _value_bits(dc_diff, dc_size)
@@ -229,6 +238,11 @@ def encode_jpeg_gray(pixels: np.ndarray, q: int = Q_SCAN) -> bytes:
     n_zrl = run >> 4
     rem = run & 15
     size = _bit_size(vals)
+    if size.size and int(size.max()) > 10:
+        raise ValueError(
+            f"quantization step q={q} yields AC category {int(size.max())} > 10 "
+            "(not encodable with the baseline Annex-K AC table); raise q"
+        )
     sym = (rem << 4) | size
     ac_keys = rows * 260 + 4 * (cols + 1) + 3
     ac_bits = (_AC_CODE[sym] << size) | _value_bits(vals, size)

@@ -235,8 +235,15 @@ class IceTable:
             rel_dir = os.path.relpath(root, scratch)
             part_val = None
             if pcol is not None and rel_dir != ".":
-                # hive-style "pcol=value" path component
-                part_val = rel_dir.split("=", 1)[1]
+                # hive-style "pcol=value" path component.  Spark escapes
+                # special chars (space, '/', ':', '%'…) as %XX when
+                # writing partition dirs and unescapes them when reading
+                # with basePath — unescape here too, or string partition
+                # values in the manifest would diverge from the column
+                # values and plan_files/pushFilters could wrongly prune.
+                from urllib.parse import unquote
+
+                part_val = unquote(rel_dir.split("=", 1)[1])
             for i, name in enumerate(sorted(files)):
                 if not name.endswith(".parquet"):
                     continue
@@ -782,37 +789,66 @@ class IceTable:
                 df = df.sortWithinPartitions(*order)
         return self.overwrite_partitions(df, extra_summary={"compaction": True})
 
-    def expire_snapshots(self, keep_last: int = 1) -> dict:
-        """Drop history older than the newest ``keep_last`` snapshots and
-        delete data files no surviving snapshot references (Iceberg's
-        ``expireSnapshots`` + orphan cleanup in one step).
+    def remove_orphan_files(self) -> int:
+        """Delete data files referenced by NO snapshot in the CURRENT
+        committed metadata (Iceberg's ``remove_orphan_files``).
 
-        Like Iceberg's ``remove_orphan_files``, this must not run
-        concurrently with in-flight writers: a writer that has staged
-        data but not yet committed looks exactly like an orphan.
+        Idempotent: it only ever deletes files the committed head cannot
+        reach, so re-running after a crash (e.g. between an expire commit
+        and its cleanup) is always safe.  Like Iceberg's version, it must
+        not run concurrently with in-flight writers: a writer that has
+        staged data but not yet committed looks exactly like an orphan.
+        """
+        meta = self.metadata()
+        live: set[str] = set()
+        for s in meta["snapshots"]:
+            for m in self._manifest_list_for(meta, s["snapshot_id"]):
+                for e in _read_json(os.path.join(self.meta_dir, m["name"])):
+                    live.add(e["path"])
+        removed = 0
+        for root, _dirs, fnames in os.walk(self.data_dir):
+            for name in fnames:
+                p = os.path.join(root, name)
+                if os.path.relpath(p, self.table_dir) not in live:
+                    os.unlink(p)
+                    removed += 1
+        return removed
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Drop history older than the newest ``keep_last`` snapshots,
+        then delete data files no surviving snapshot references.
+
+        Two strictly ordered phases (Iceberg's ``expireSnapshots`` then
+        ``remove_orphan_files``), preserving the table-format invariant
+        that COMMITTED metadata only ever references existing files:
+
+        1. CAS-commit the trimmed snapshot log — metadata only, no file
+           touched.  A crash before this point changes nothing; a lost
+           race retries against the new head like any commit.
+        2. After (and only after) the commit is published, delete files
+           unreachable from the committed head via
+           :meth:`remove_orphan_files`.  A crash between the phases
+           leaves EXTRA files, never missing ones — every committed
+           snapshot still reads — and the cleanup is re-runnable.
+
+        The returned snapshot dict is enriched with the (post-commit)
+        ``orphan_files_removed`` count; the committed summary records
+        only ``expired`` because the removal count is not known at
+        commit time.
         """
 
         def build(meta: dict, seq: int, token: str):
-            keep = meta["snapshots"][-keep_last:] if keep_last > 0 else []
-            live: set[str] = set()
-            for s in keep:
-                for m in self._manifest_list_for(meta, s["snapshot_id"]):
-                    for e in _read_json(os.path.join(self.meta_dir, m["name"])):
-                        live.add(e["path"])
-            removed = 0
-            for root, _dirs, fnames in os.walk(self.data_dir):
-                for name in fnames:
-                    p = os.path.join(root, name)
-                    if os.path.relpath(p, self.table_dir) not in live:
-                        os.unlink(p)
-                        removed += 1
             # expiry is itself a commit: rewrite the snapshot log but keep
             # the current snapshot's manifests untouched
+            keep = meta["snapshots"][-keep_last:] if keep_last > 0 else []
             manifest_names = self._current_manifest_names(meta)
-            summary = {"expired": len(meta["snapshots"]) - len(keep),
-                       "orphan_files_removed": removed}
+            summary = {"expired": len(meta["snapshots"]) - len(keep)}
             # splice the trimmed history in via the commit loop's meta copy
             meta["snapshots"] = keep[:-1] if keep else []
             return manifest_names, summary
 
-        return self._commit("expire", build)
+        snap = self._commit("expire", build)
+        removed = self.remove_orphan_files()
+        out = dict(snap)
+        out["summary"] = dict(snap["summary"], orphan_files_removed=removed)
+        return out

@@ -249,23 +249,40 @@ class IcetableStreamReader(DataSourceStreamReader):
             options.get("skipnonappend", "false")
         ).lower() in ("true", "1")
         # backpressure: a micro-batch consumes at most this many
-        # snapshots, so a consumer catching up on a long backlog gets
-        # bounded batches instead of one giant one (the analog of
-        # maxFilesPerTrigger for file streams). For CONTINUOUS triggers
-        # only: Trigger.AvailableNow reads latestOffset once, so the cap
-        # would bound the whole run, not each batch
+        # snapshots, so batches stay bounded in steady state (the analog
+        # of maxFilesPerTrigger for file streams). For CONTINUOUS
+        # triggers only: Trigger.AvailableNow reads latestOffset once,
+        # so the cap would bound the whole run, not each batch.
+        # CAVEAT: the FIRST latestOffset of a (re)started query is
+        # uncapped — the runner calls it before initialOffset/partitions
+        # can reveal the true base, and capping from the stale _start
+        # base could emit an offset BELOW a restarted query's
+        # checkpointed start (offset regression => replayed snapshots)
         self._max_snaps = int(options.get("maxsnapshotspertrigger", 0)) or None
         self._last_end = self._start
+        # the cap base is trustworthy only once we have seen a
+        # checkpoint-derived offset (partitions()/commit() carry one); a
+        # fresh reader instance after a query RESTART starts from
+        # startingsnapshotid, and capping from that stale base could emit
+        # an offset BELOW the checkpointed start — Spark would record the
+        # regressed offset and re-plan already-processed snapshots
+        self._cap_base_known = False
 
     def initialOffset(self) -> dict:
+        # called only for a brand-new query (no checkpoint): _start IS
+        # the true cap base
+        self._cap_base_known = True
         return {"snapshot_id": self._start}
 
     def latestOffset(self) -> dict:
         meta = IceTable.load(self._table_dir).metadata()
         cur = meta["current_snapshot_id"]
         head = int(cur) if cur is not None else self._start
-        if self._max_snaps is not None:
+        if self._max_snaps is not None and self._cap_base_known:
             head = min(head, self._last_end + self._max_snaps)
+        # never regress: an offset below the last end seen would break
+        # the monotone-offset contract
+        head = max(head, self._last_end)
         self._last_end = max(self._last_end, head)
         return {"snapshot_id": head}
 
@@ -273,6 +290,7 @@ class IcetableStreamReader(DataSourceStreamReader):
         lo, hi = start["snapshot_id"], end["snapshot_id"]
         # restart sync: the checkpointed start may be past our cap base
         self._last_end = max(self._last_end, lo)
+        self._cap_base_known = True
         if hi <= lo:
             return []
         t = IceTable.load(self._table_dir)
@@ -286,8 +304,10 @@ class IcetableStreamReader(DataSourceStreamReader):
         yield from _read_file_batches(partition, self._schema)
 
     def commit(self, end: dict) -> None:
-        # offsets live in Spark's checkpoint; nothing table-side to do
-        pass
+        # offsets live in Spark's checkpoint; nothing table-side to do —
+        # but the committed end is a valid cap base, so sync it
+        self._last_end = max(self._last_end, end["snapshot_id"])
+        self._cap_base_known = True
 
 
 @dataclass
@@ -318,7 +338,14 @@ class IcetableStreamWriter(DataSourceStreamWriter):
     def __init__(self, schema: StructType, options):
         self._schema = schema
         self._table_dir = options["path"]
-        self._run_id = str(options.get("runid", ""))
+        # idempotency-key base, strongest first: an explicit runId, else
+        # the checkpoint location (stable across restarts of ONE query,
+        # distinct across fresh-checkpoint queries — exactly the replay
+        # identity we need; batchId alone collides because a new query's
+        # batch ids restart at 0)
+        self._run_id = str(
+            options.get("runid", "") or options.get("checkpointlocation", "")
+        )
         meta = IceTable.load(self._table_dir).metadata()
         self._pcol = meta["partition_col"]
         self._stat_cols = meta["stat_cols"]
@@ -345,8 +372,15 @@ class IcetableStreamWriter(DataSourceStreamWriter):
         for pv, rows in by_part.items():
             cols = {f.name: [r[f.name] for r in rows] for f in data_fields}
             tbl = pa.Table.from_pydict(cols, schema=target)
+            # hive-style dir: escape the value like Spark's escapePathName
+            # does (the manifest keeps the UNescaped value; Spark's
+            # basePath reader unescapes %XX on read)
+            from urllib.parse import quote
+
             ddir = (
-                data_dir if pv is None else os.path.join(data_dir, f"{self._pcol}={pv}")
+                data_dir
+                if pv is None
+                else os.path.join(data_dir, f"{self._pcol}={quote(str(pv), safe='')}")
             )
             os.makedirs(ddir, exist_ok=True)
             path = os.path.join(ddir, f"stream-{token}-{len(entries)}.parquet")
@@ -363,6 +397,27 @@ class IcetableStreamWriter(DataSourceStreamWriter):
     def _key(self, batch_id: int) -> str | None:
         return f"{self._run_id}:{batch_id}" if self._run_id else None
 
+    @staticmethod
+    def _same_content(t: IceTable, snap: dict, entries: list) -> bool:
+        """Does ``snap``'s ADDED manifest hold the same (partition, rows)
+        multiset as this attempt's entries?  File paths can't match (each
+        attempt writes fresh random-token names), so content shape is the
+        strongest identity available without a key."""
+        from .icetable import _read_json
+
+        try:
+            mlist = _read_json(os.path.join(t.meta_dir, snap["manifest_list"]))
+            if not mlist:
+                return False
+            added = _read_json(os.path.join(t.meta_dir, mlist[-1]["name"]))
+        except (OSError, ValueError):
+            return False
+
+        def sig(es):
+            return sorted((e["partition"], e["rows"]) for e in es)
+
+        return sig(added) == sig(entries)
+
     def commit(self, messages, batchId: int) -> None:
         t = IceTable.load(self._table_dir)
         entries = [e for m in messages if m is not None for e in m.entries]
@@ -370,10 +425,19 @@ class IcetableStreamWriter(DataSourceStreamWriter):
             return
         key = self._key(batchId)
         if key is None:
-            # weak replay guard: the only batch Spark can replay is the
-            # one right after the last committed snapshot
+            # last-resort replay guard (no runId AND no checkpoint
+            # location in options): the only batch Spark can replay is
+            # the one right after the last committed snapshot — but a
+            # matching batchId alone is NOT identity (a fresh-checkpoint
+            # query restarts at batch 0), so also require the replayed
+            # attempt's content to match what that snapshot committed
+            # before dropping the files
             snaps = t.snapshots()
-            if snaps and snaps[-1]["summary"].get("stream_batch_id") == batchId:
+            if (
+                snaps
+                and snaps[-1]["summary"].get("stream_batch_id") == batchId
+                and self._same_content(t, snaps[-1], entries)
+            ):
                 self._delete(entries)
                 return
         # table schema follows the stream's schema (same rule as append())

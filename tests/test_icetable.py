@@ -432,3 +432,60 @@ def test_sorted_compaction_tightens_file_skipping(spark, tmp_path):
     assert t.plan_files(stats_ranges={"k": (1000, None)}) == []
     # contents unchanged
     assert {r.k for r in t.scan(spark).collect()} == set(range(100))
+
+
+def test_expire_crash_between_commit_and_cleanup(spark, tmp_path, monkeypatch):
+    """expire_snapshots is two-phase: (1) CAS-commit the trimmed log,
+    (2) delete unreferenced files.  A crash between the phases must
+    leave EXTRA files, never missing ones — every snapshot in the
+    committed metadata stays readable — and the cleanup must be an
+    idempotent re-runnable step."""
+    t = IceTable.create(str(tmp_path / "t"), partition_col="part", stat_cols=["k"])
+    t.append(_df(spark, 0, 40))                                    # snap 1
+    s2 = t.overwrite_partitions(_df(spark, 0, 40, factor=3).filter("part = 0"))
+    t.append(_df(spark, 40, 60))                                   # snap 3
+    n_files_before = sum(len(fs) for _, _, fs in os.walk(t.data_dir))
+
+    real_cleanup = IceTable.remove_orphan_files
+
+    def crash(self):
+        raise RuntimeError("injected crash after expire commit")
+
+    monkeypatch.setattr(IceTable, "remove_orphan_files", crash)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        t.expire_snapshots(keep_last=2)
+    monkeypatch.setattr(IceTable, "remove_orphan_files", real_cleanup)
+
+    # the expire COMMIT landed (snap 1 trimmed from the log)...
+    ops = [s["operation"] for s in t.snapshots()]
+    assert ops[-1] == "expire"
+    with pytest.raises(ValueError):
+        t.plan_files(snapshot_id=1)
+    # ...but NO file was deleted: the crash window leaves orphans only
+    assert sum(len(fs) for _, _, fs in os.walk(t.data_dir)) == n_files_before
+    # every snapshot the committed metadata references still reads
+    assert t.scan(spark).count() == 60
+    assert t.scan(spark, snapshot_id=s2["snapshot_id"]).count() == 40
+    # phase 2 re-run: removes exactly the unreferenced files, table intact
+    removed = t.remove_orphan_files()
+    assert removed > 0
+    assert t.scan(spark).count() == 60
+    assert t.scan(spark, snapshot_id=s2["snapshot_id"]).count() == 40
+    # idempotent: a second run finds nothing left to delete
+    assert t.remove_orphan_files() == 0
+
+
+def test_stage_data_unescapes_hive_partition_values(spark, tmp_path):
+    """Spark %XX-escapes special chars in hive partition dirs; the
+    manifest must record the UNescaped column value or string-partition
+    pruning would compare escaped vs actual and wrongly skip files."""
+    t = IceTable.create(str(tmp_path / "t"), partition_col="host", stat_cols=[])
+    df = spark.createDataFrame(
+        [(1, "a b/c:d"), (2, "plain.example")], "k int, host string"
+    ).repartition(2, "host")
+    t.append(df)
+    vals = {e["partition"] for e in t.plan_files()}
+    assert vals == {"a b/c:d", "plain.example"}
+    got = t.scan(spark, partition_values={"a b/c:d"})
+    assert [r.k for r in got.collect()] == [1]
+    assert got.collect()[0].host == "a b/c:d"

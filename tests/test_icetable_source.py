@@ -269,15 +269,18 @@ def test_batch_reader_filter_pushdown_prunes_files(spark, tmp_path):
 
 
 def test_stream_rate_limit_bounds_batches(spark, tmp_path):
-    """maxSnapshotsPerTrigger: with a continuous trigger, a 3-snapshot
-    backlog drains as 3 bounded micro-batches (one snapshot each)
-    instead of one giant catch-up batch."""
+    """maxSnapshotsPerTrigger bounds STEADY-STATE batches: the first
+    offset cycle of a (re)started query is deliberately uncapped (the
+    runner asks for latestOffset before any checkpoint-derived base is
+    visible; capping from the stale initial base could regress below a
+    restarted query's checkpointed offset — the r6 ADVICE bug), then the
+    cap binds for every subsequent trigger."""
     import time
 
     tdir = str(tmp_path / "t")
     ckpt = str(tmp_path / "ckpt")
     t = IceTable.create(tdir, partition_col="part", stat_cols=["k"])
-    s = [t.append(_df(spark, i * 10, (i + 1) * 10)) for i in range(3)]
+    s = [t.append(_df(spark, i * 10, (i + 1) * 10)) for i in range(2)]
     batches: list = []
     q = (
         spark.readStream.format("icetable")
@@ -290,18 +293,24 @@ def test_stream_rate_limit_bounds_batches(spark, tmp_path):
             )
         )
         .option("checkpointLocation", ckpt)
-        .trigger(processingTime="500 milliseconds")
+        .trigger(processingTime="2 seconds")
         .start()
     )
+    deadline = time.time() + 60
+    while time.time() < deadline and not [b for b in batches if b]:
+        time.sleep(0.5)
+    # initial catch-up batch: uncapped by design (see reader docstring)
+    assert [b for b in batches if b][0] == [1, 2]
+    # build a backlog while the query is live: the cap now bounds each
+    # micro-batch to one snapshot, drained in order
+    s += [t.append(_df(spark, (i + 2) * 10, (i + 3) * 10)) for i in range(3)]
     deadline = time.time() + 120
-    while time.time() < deadline and len([b for b in batches if b]) < 3:
+    while time.time() < deadline and len([b for b in batches if b]) < 4:
         time.sleep(1)
     q.stop()
     q.awaitTermination(60)
     non_empty = [b for b in batches if b]
-    assert non_empty[:3] == [
-        [s[0]["snapshot_id"]], [s[1]["snapshot_id"]], [s[2]["snapshot_id"]]
-    ]
+    assert non_empty[1:4] == [[3], [4], [5]]
 
 
 def test_stream_writer_concurrent_commits_serialize(spark, tmp_path):
@@ -339,3 +348,108 @@ def test_stream_writer_concurrent_commits_serialize(spark, tmp_path):
         "qa:0", "qb:0"
     }
     assert {r.k for r in t.scan(spark).collect()} == set(range(25))
+
+
+def test_stream_reader_restart_cap_never_regresses(spark, tmp_path):
+    """Regression (r6 ADVICE): a restarted query builds a FRESH reader
+    whose cap base was startingsnapshotid (0), so with
+    maxSnapshotsPerTrigger the first latestOffset() could return an
+    offset BELOW the checkpointed start — Spark would record the
+    regression and re-plan already-processed snapshots.  The cap must
+    not apply until the base is a checkpoint-derived offset, and the
+    offset must never move backwards."""
+    from ocr_endpoint_project_spark.sources.icetable_source import (
+        IcetableStreamReader,
+    )
+
+    tdir = str(tmp_path / "t")
+    t = IceTable.create(tdir, partition_col="part", stat_cols=["k"])
+    snaps = [t.append(_df(spark, i * 10, (i + 1) * 10)) for i in range(5)]
+    head = snaps[-1]["snapshot_id"]
+
+    # restarted query: fresh instance, initialOffset NOT called (the
+    # checkpoint has offsets), checkpointed start = snapshot 3
+    r = IcetableStreamReader(None, {"path": tdir, "maxsnapshotspertrigger": "1"})
+    off = r.latestOffset()
+    # old bug: min(head, 0 + 1) = 1 < 3 (regressed). Now: true head.
+    assert off["snapshot_id"] == head
+    parts = r.partitions({"snapshot_id": 3}, off)
+    assert {p.snapshot_id for p in parts} == {4, 5}
+    # once synced, the cap applies from the real base again
+    t.append(_df(spark, 50, 60))
+    t.append(_df(spark, 60, 70))
+    off2 = r.latestOffset()
+    assert off2["snapshot_id"] == head + 1  # capped: one snapshot ahead
+    # and a fresh-query reader (initialOffset called) caps from _start
+    r2 = IcetableStreamReader(None, {"path": tdir, "maxsnapshotspertrigger": "2"})
+    assert r2.initialOffset() == {"snapshot_id": 0}
+    assert r2.latestOffset()["snapshot_id"] == 2
+    # commit() also syncs the base
+    r3 = IcetableStreamReader(None, {"path": tdir, "maxsnapshotspertrigger": "1"})
+    r3.commit({"snapshot_id": 6})
+    assert r3.latestOffset()["snapshot_id"] == 7
+
+
+def test_stream_writer_fresh_query_batch0_not_dropped(spark, tmp_path):
+    """Regression (r6 ADVICE): with no runId, the old replay guard
+    dropped ANY batch whose id matched the last snapshot's
+    stream_batch_id — a brand-new query restarts at batch 0, so its
+    first batch was silently deleted.  The guard now requires content
+    identity; genuine same-content replays are still deduplicated."""
+    import glob
+
+    from ocr_endpoint_project_spark.sources.icetable_source import (
+        IcetableStreamWriter,
+    )
+
+    tdir = str(tmp_path / "t")
+    t = IceTable.create(tdir, partition_col=None, stat_cols=["k"])
+    schema = _df(spark, 0, 10).drop("part").schema
+    rows_a = _df(spark, 0, 10).drop("part").collect()
+    rows_b = _df(spark, 10, 25).drop("part").collect()  # different shape
+
+    w1 = IcetableStreamWriter(schema, {"path": tdir})
+    w1.commit([w1.write(iter(rows_a))], batchId=0)
+    assert len(t.snapshots()) == 1
+
+    # new query, fresh checkpoint: batch ids restart at 0 — must COMMIT
+    w2 = IcetableStreamWriter(schema, {"path": tdir})
+    w2.commit([w2.write(iter(rows_b))], batchId=0)
+    assert len(t.snapshots()) == 2
+    assert {r.k for r in t.scan(spark).collect()} == set(range(25))
+
+    # genuine replay (same batch id AND same content): deduplicated
+    n_files = len(glob.glob(os.path.join(tdir, "data", "*.parquet")))
+    w2.commit([w2.write(iter(rows_b))], batchId=0)
+    assert len(t.snapshots()) == 2
+    assert len(glob.glob(os.path.join(tdir, "data", "*.parquet"))) == n_files
+
+
+def test_stream_writer_checkpoint_location_is_default_key(spark, tmp_path):
+    """checkpointLocation (always present in a real writeStream) gives a
+    per-query idempotency key even without runId: same-content batch 0
+    from a DIFFERENT checkpoint commits; a replay from the SAME
+    checkpoint is skipped."""
+    from ocr_endpoint_project_spark.sources.icetable_source import (
+        IcetableStreamWriter,
+    )
+
+    tdir = str(tmp_path / "t")
+    t = IceTable.create(tdir, partition_col=None, stat_cols=["k"])
+    schema = _df(spark, 0, 10).drop("part").schema
+    rows = _df(spark, 0, 10).drop("part").collect()
+
+    wa = IcetableStreamWriter(schema, {"path": tdir, "checkpointlocation": "/ck/a"})
+    wa.commit([wa.write(iter(rows))], batchId=0)
+    assert t.snapshots()[-1]["summary"]["idempotency_key"] == "/ck/a:0"
+
+    # identical content, batch 0, DIFFERENT query (new checkpoint): commits
+    wb = IcetableStreamWriter(schema, {"path": tdir, "checkpointlocation": "/ck/b"})
+    wb.commit([wb.write(iter(rows))], batchId=0)
+    assert len(t.snapshots()) == 2
+    assert t.scan(spark).count() == 20
+
+    # replay from the same checkpoint: exactly-once
+    wa2 = IcetableStreamWriter(schema, {"path": tdir, "checkpointlocation": "/ck/a"})
+    wa2.commit([wa2.write(iter(rows))], batchId=0)
+    assert len(t.snapshots()) == 2

@@ -271,3 +271,26 @@ def test_sniff_and_ingest_accept_jpeg():
     assert res.error is None
     assert res.extracted_text == pages[0]
     assert res.n_pages == 1
+
+
+def test_encoder_rejects_unencodable_categories():
+    """Regression (r6 ADVICE): magnitude categories beyond the fixed
+    Annex-K tables (AC > 10, DC > 11) used to read a zero-length code
+    and emit a corrupt bitstream; they must raise instead.  Reachable
+    only with out-of-range input or a tiny q — normal uint8 rasters at
+    Q_SCAN are unaffected."""
+    # zero-mean checkerboard with huge amplitude: DC stays small, the
+    # high-frequency AC coefficient blows past category 10
+    ac_bomb = np.zeros((8, 8))
+    ac_bomb[::2, ::2] = 128 + 3000.0
+    ac_bomb[1::2, 1::2] = 128 + 3000.0
+    ac_bomb[::2, 1::2] = 128 - 3000.0
+    ac_bomb[1::2, ::2] = 128 - 3000.0
+    with pytest.raises(ValueError, match="AC category"):
+        encode_jpeg_gray(ac_bomb, q=1)
+    # a flat out-of-range raster overflows the DC category instead
+    with pytest.raises(ValueError, match="DC category"):
+        encode_jpeg_gray(np.full((8, 8), 50000.0), q=1)
+    # sane inputs still round-trip at the smallest q
+    px = (np.arange(64, dtype=np.float64).reshape(8, 8) * 3) % 256
+    assert decode_jpeg_gray(encode_jpeg_gray(px, q=1)).shape == (8, 8)
