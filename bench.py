@@ -504,7 +504,11 @@ def main() -> None:
     # docs/s/core serial; degraded windows have measured 350-600)
     control_pre = kernel_control()
     hw_pre = hw_control()
+    from ocr_endpoint_project_spark.operators import cluster as _cluster
+
+    cc_stats: dict = {}
     for name in HEADLINE:
+        _cluster.LAST_CC_STATS = {}  # arm keeper attribution telemetry
         t0 = time.perf_counter()
         try:
             df = queries[name](spark, sf_dir)
@@ -513,6 +517,9 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — one bad query must not kill the bench
             print(f"bench: {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
             timings[name] = -1.0
+        if _cluster.LAST_CC_STATS:
+            cc_stats[name] = dict(_cluster.LAST_CC_STATS)
+    _cluster.LAST_CC_STATS = None
     control_post = kernel_control()
     hw_post = hw_control()
     total = sum(t for t in timings.values() if t > 0)
@@ -549,6 +556,11 @@ def main() -> None:
                 "query_section_hw_control_ops_per_sec": {
                     "pre": hw_pre, "post": hw_post,
                 },
+                # graph shape behind each keeper/CC query this draw
+                # (pairs, rounds, short-circuit path) — the r6
+                # dedup_cluster_keeper regression was unattributable
+                # without it
+                "cc_stats": cc_stats,
                 "partition_skew": skew,
                 "scaling": scaling,
                 "scaling_secondary": scaling_secondary,

@@ -96,6 +96,8 @@ def connected_components(vertices: DataFrame, edges: DataFrame) -> DataFrame:
             .collect()[0][0]
             or 0
         )
+        if LAST_CC_STATS is not None:
+            LAST_CC_STATS["cc_rounds"] = i + 1
         if n_changed == 0:
             break
     else:
@@ -112,6 +114,15 @@ def connected_components(vertices: DataFrame, edges: DataFrame) -> DataFrame:
 # on the driver — far below any sane driver heap; above it, the
 # distributed loop (same labels, min-id per component) takes over.
 CC_DRIVER_MAX_PAIRS = int(os.environ.get("SPARK_GRAFT_CC_DRIVER_MAX_PAIRS", "1000000"))
+
+# attribution telemetry (r6 VERDICT #4): the bench sets this to {} before
+# a keeper query and snapshots it after, so BENCH json can explain a
+# keeper-time regression (pair growth vs plan change) WITHOUT a second
+# execution of the expensive pair plan. keeper_frame records the graph
+# shape; connected_components records the round count when the
+# distributed path runs. None = recording off (the default outside the
+# bench; overhead is a few dict stores either way).
+LAST_CC_STATS: dict | None = None
 
 
 def _driver_union_find(pair_rows: list[tuple]) -> dict:
@@ -156,10 +167,23 @@ def keeper_frame(ids: DataFrame, pairs: DataFrame) -> DataFrame:
     loop runs. Both paths are covered by tests and produce identical
     frames."""
     head = pairs.select("doc_a", "doc_b").limit(CC_DRIVER_MAX_PAIRS + 1).collect()
-    if len(head) <= CC_DRIVER_MAX_PAIRS:
+    shortcircuit = len(head) <= CC_DRIVER_MAX_PAIRS
+    if LAST_CC_STATS is not None:
+        LAST_CC_STATS.update(
+            # at cap+1 the true pair count is unknown (the collect is
+            # truncated); cc_pairs_exact records which reading applies
+            cc_pairs=len(head),
+            cc_pairs_exact=shortcircuit,
+            cc_shortcircuit=shortcircuit,
+            cc_rounds=0,
+        )
+    if shortcircuit:
         spark = pairs.sparkSession
         rows = [(r[0], r[1]) for r in head]
         labels = _driver_union_find(rows)
+        if LAST_CC_STATS is not None:
+            LAST_CC_STATS["cc_endpoints"] = len(labels)
+            LAST_CC_STATS["cc_clusters"] = len(set(labels.values()))
         schema = pairs.select(
             F.col("doc_a").alias("doc_id"), F.col("doc_a").alias("lab")
         ).schema

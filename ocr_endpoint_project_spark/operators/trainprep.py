@@ -146,16 +146,31 @@ GROUP BY split, lang
 # (set N_SHARDS ~ writer parallelism in production).
 # ---------------------------------------------------------------------------
 
-N_SHARDS = 8
+N_SHARDS = 8  # oracle-pinned default; production callers pass n_shards
 PACK_TOKENS = 256
 
 
-def pack_sequences(in_docs: DataFrame) -> DataFrame:
-    """Concat-and-chunk packing manifest over any (doc_id, text) frame."""
-    shard = (
+def _shard_col(n_shards: int):
+    return (
         shingle_hash32(F.concat(F.lit("shard|"), F.col("doc_id").cast("string")))
-        % N_SHARDS
+        % n_shards
     ).cast("bigint")
+
+
+def pack_sequences(in_docs: DataFrame, n_shards: int | None = None) -> DataFrame:
+    """Concat-and-chunk packing manifest over any (doc_id, text) frame.
+
+    ``n_shards`` is the scale knob: each shard's running-sum window sorts
+    1/n_shards of the corpus through one task, so it should track writer
+    parallelism (default: the input's partition count — at 1000 executors
+    a well-partitioned input gives ~1000 independent windows).  The
+    oracle wrapper pins ``N_SHARDS`` = 8 so cross-engine hashes stay
+    stable; offsets are correct for ANY shard count (shards are
+    independent by construction).
+    """
+    if n_shards is None:
+        n_shards = max(in_docs.rdd.getNumPartitions(), 1)
+    shard = _shard_col(n_shards)
     docs = in_docs.select(
         "doc_id",
         shard.alias("shard"),
@@ -199,7 +214,7 @@ def pack_sequences(in_docs: DataFrame) -> DataFrame:
 
 
 def q_train_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pack_sequences(_docs(spark, sf_dir))
+    return pack_sequences(_docs(spark, sf_dir), n_shards=N_SHARDS)
 
 
 _SQL_SHARD = (
@@ -501,27 +516,37 @@ WHERE token_id <= {VOCAB_N}
 CURRICULUM_PHASES = 4
 
 
-def q_train_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+def curriculum(
+    in_docs: DataFrame,
+    n_shards: int | None = None,
+    phases: int = CURRICULUM_PHASES,
+) -> DataFrame:
+    """Phase assignment over any (doc_id, text) frame; ``n_shards`` is
+    the same scale knob as :func:`pack_sequences` (per-shard ntile
+    window sorts 1/n_shards of the corpus; default = input partitions;
+    the oracle wrapper pins 8)."""
+    if n_shards is None:
+        n_shards = max(in_docs.rdd.getNumPartitions(), 1)
     toks = norm_tokens("text")
     logit = F.aggregate(
         F.transform(toks, lambda t: shingle_hash32(t) % 2001 - 1000),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    shard = (
-        shingle_hash32(F.concat(F.lit("shard|"), F.col("doc_id").cast("string")))
-        % N_SHARDS
-    ).cast("bigint")
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", shard.alias("shard"), logit.alias("logit")
+    docs = in_docs.select(
+        "doc_id", _shard_col(n_shards).alias("shard"), logit.alias("logit")
     )
     w = Window.partitionBy("shard").orderBy(F.desc("logit"), "doc_id")
     return docs.select(
         "doc_id",
         "shard",
         "logit",
-        F.ntile(CURRICULUM_PHASES).over(w).cast("bigint").alias("phase"),
+        F.ntile(phases).over(w).cast("bigint").alias("phase"),
     )
+
+
+def q_train_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curriculum(_docs(spark, sf_dir), n_shards=N_SHARDS)
 
 
 SQL_TRAIN_CURRICULUM = f"""

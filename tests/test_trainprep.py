@@ -119,3 +119,42 @@ def test_curriculum_phases_balanced_and_ordered(spark):
         # ntile balance: sizes differ by at most 1
         sizes = [phases.count(p) for p in sorted(set(phases))]
         assert max(sizes) - min(sizes) <= 1
+
+
+def test_pack_and_curriculum_shard_count_is_a_parameter(spark):
+    """r6 VERDICT: the per-shard window is the documented scale axis, so
+    the shard count must be settable — offsets stay correct at ANY
+    n_shards (shards are independent), and the default tracks the
+    input's partitioning instead of a frozen constant."""
+    docs = tp._docs(spark, SF)
+    out = tp.pack_sequences(docs, n_shards=32).collect()
+    shards = {r.shard for r in out}
+    assert shards <= set(range(32)) and len(shards) > tp.N_SHARDS
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for rs in by_shard.values():
+        rs.sort(key=lambda r: r.doc_id)
+        off = 0
+        for r in rs:
+            assert r.tok_start == off and r.tok_end == off + r.n_tokens
+            off = r.tok_end
+    # total tokens invariant across shard counts
+    t8 = sum(r.n_tokens for r in tp.pack_sequences(docs, n_shards=8).collect())
+    assert sum(r.n_tokens for r in out) == t8
+    # default derives from the input's partition count
+    n_parts = docs.rdd.getNumPartitions()
+    dflt = tp.pack_sequences(docs)
+    assert {r.shard for r in dflt.collect()} <= set(range(max(n_parts, 1)))
+    # curriculum: same knob, phases stay balanced within each shard
+    cur = tp.curriculum(docs, n_shards=16).collect()
+    assert {r.shard for r in cur} <= set(range(16))
+    by_shard = {}
+    for r in cur:
+        by_shard.setdefault(r.shard, []).append(r)
+    for rs in by_shard.values():
+        counts = [0] * 5
+        for r in rs:
+            counts[r.phase] += 1
+        sizes = [c for c in counts[1:] if c]
+        assert max(sizes) - min(sizes) <= 1  # ntile balance
