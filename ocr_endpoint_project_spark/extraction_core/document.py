@@ -49,6 +49,9 @@ class ExtractResult:
     status: str = STATUS_FAILED
     error: str | None = None
     elapsed_ms: float = 0.0
+    # raw <a href> values in document order (HTML docs only) — the
+    # crawl-frontier / host-graph feed, collected in the same parse pass
+    out_links: list[str] = field(default_factory=list)
 
 
 def extract_document(payload: bytes | None, max_bytes: int = MAX_DOC_BYTES) -> ExtractResult:
@@ -82,8 +85,9 @@ def extract_document(payload: bytes | None, max_bytes: int = MAX_DOC_BYTES) -> E
         elif payload is not None and len(payload) > max_bytes:
             res.error = ERR_FILE_TOO_LARGE
         elif kind == KIND_HTML:
-            text, spans = extract_html(payload)
+            text, spans, links = extract_html(payload)
             res.extracted_text, res.spans, res.n_pages = text, spans, 1
+            res.out_links = links
         elif kind == KIND_PDF:
             res.extracted_text, res.spans, res.n_pages = extract_pdf(payload)
         elif kind == KIND_IMAGE:

@@ -63,6 +63,10 @@ class _BlockParser(HTMLParser):
         self._link_fragments: list[str] = []
         self._block_tag = ""
         self.blocks: list[tuple[str, str, float]] = []
+        # every <a href> in document order, INCLUDING anchors inside
+        # dropped chrome subtrees (nav/footer/...): boilerplate links are
+        # stripped from the TEXT, but a crawler's link graph follows them
+        self.links: list[str] = []
 
     # -- block lifecycle ---------------------------------------------------
     def _flush(self) -> None:
@@ -78,7 +82,14 @@ class _BlockParser(HTMLParser):
         self.blocks.append((tag, text, density))
 
     # -- parser callbacks ----------------------------------------------------
+    def _collect_href(self, attrs) -> None:
+        href = next((v for k, v in attrs if k == "href"), None)
+        if href:
+            self.links.append(href)
+
     def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "a":
+            self._collect_href(attrs)  # before drop check: nav links count
         if tag in DROP_SUBTREE_TAGS:
             self._drop_depth += 1
             return
@@ -97,6 +108,8 @@ class _BlockParser(HTMLParser):
             self._flush()
 
     def handle_startendtag(self, tag: str, attrs) -> None:
+        if tag == "a":
+            self._collect_href(attrs)
         if tag == "br" and not self._drop_depth:
             self._fragments.append(" ")
 
@@ -126,14 +139,20 @@ def _keep(tag: str, text: str, density: float) -> bool:
     return len(text) >= MIN_BLOCK_CHARS and density <= MAX_LINK_DENSITY
 
 
-def extract_html_blocks_reference(payload: bytes) -> list[tuple[str, str]]:
+def extract_html_blocks_reference(
+    payload: bytes, links: list[str] | None = None
+) -> list[tuple[str, str]]:
     """Stdlib-parser implementation — the parity reference for the fast
-    scanner (tests/test_html_fast_parity.py compares them on the corpus)."""
+    scanner (tests/test_html_fast_parity.py compares them on the corpus).
+    If ``links`` is a list, every ``<a href>`` value is appended to it in
+    document order (same single parse pass)."""
     html = payload.decode("utf-8", errors="replace")
     parser = _BlockParser()
     parser.feed(html)
     parser.close()
     parser._flush()
+    if links is not None:
+        links.extend(parser.links)
     out: list[tuple[str, str]] = []
     for tag, text, density in parser.blocks:
         if _keep(tag, text, density):
@@ -142,23 +161,31 @@ def extract_html_blocks_reference(payload: bytes) -> list[tuple[str, str]]:
     return out
 
 
-def extract_html_blocks(payload: bytes) -> list[tuple[str, str]]:
+def extract_html_blocks(
+    payload: bytes, links: list[str] | None = None
+) -> list[tuple[str, str]]:
     """Return the kept main-content blocks as ``(kind, text)`` pairs
     (fast regex scanner; see html_fast.py)."""
     from .html_fast import extract_html_blocks_fast
 
-    return extract_html_blocks_fast(payload)
+    return extract_html_blocks_fast(payload, links)
 
 
-def extract_html(payload: bytes) -> tuple[str, list[tuple[int, int, str]]]:
+def extract_html(
+    payload: bytes,
+) -> tuple[str, list[tuple[int, int, str]], list[str]]:
     """Extract main content from HTML bytes.
 
-    Returns ``(text, spans)`` where ``spans`` are ``(start, end, kind)``
-    character offsets of each kept block inside ``text``. Blocks are
-    joined with ``"\\n\\n"`` then stripped (``ocr_common.py:341-344``
-    contract; the strip is a no-op here because blocks are pre-collapsed).
+    Returns ``(text, spans, links)`` where ``spans`` are ``(start, end,
+    kind)`` character offsets of each kept block inside ``text`` and
+    ``links`` are the raw ``<a href>`` values in document order (the
+    crawl-frontier / host-graph input; collected in the same parse
+    pass, never a second scan).  Blocks are joined with ``"\\n\\n"``
+    then stripped (``ocr_common.py:341-344`` contract; the strip is a
+    no-op here because blocks are pre-collapsed).
     """
-    blocks = extract_html_blocks(payload)
+    links: list[str] = []
+    blocks = extract_html_blocks(payload, links)
     parts: list[str] = []
     spans: list[tuple[int, int, str]] = []
     pos = 0
@@ -168,4 +195,4 @@ def extract_html(payload: bytes) -> tuple[str, list[tuple[int, int, str]]]:
         spans.append((pos, pos + len(text), kind))
         pos += len(text)
         parts.append(text)
-    return "\n\n".join(parts).strip(), spans
+    return "\n\n".join(parts).strip(), spans, links

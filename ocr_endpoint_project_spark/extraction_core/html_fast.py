@@ -50,12 +50,35 @@ _RAWTEXT_CLOSE = {
     t: re.compile(rf"</{t}\b[^>]*>", re.I) for t in ("script", "style")
 }
 
+# href attribute inside an already-matched <a ...> tag source.  Mirrors
+# html.parser's attribute grammar for the declared parity scope
+# (well-formed markup): quoted values take everything to the matching
+# quote, unquoted values run to whitespace/'>'; values are
+# charref-unescaped like html.parser does.
+_HREF_RE = re.compile(
+    r"""\bhref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]*))""", re.I
+)
+
 
 def _collapse(s: str) -> str:
     return " ".join(s.split())
 
 
-def extract_html_blocks_fast(payload: bytes) -> list[tuple[str, str]]:
+def _href_of(tag_src: str) -> str | None:
+    m = _HREF_RE.search(tag_src)
+    if m is None:
+        return None
+    v = m.group(1) if m.group(1) is not None else (
+        m.group(2) if m.group(2) is not None else m.group(3)
+    )
+    if v and "&" in v:
+        v = unescape(v)
+    return v or None
+
+
+def extract_html_blocks_fast(
+    payload: bytes, links: list[str] | None = None
+) -> list[tuple[str, str]]:
     html = payload.decode("utf-8", errors="replace")
     blocks: list[tuple[str, str]] = []
     fragments: list[str] = []
@@ -109,6 +132,12 @@ def extract_html_blocks_fast(payload: bytes) -> list[tuple[str, str]]:
         name = name.lower()
         closing = tag_src[1] == "/"
         self_closing = tag_src.endswith("/>") and not closing
+        if links is not None and not closing and name == "a":
+            # collected regardless of drop_depth: boilerplate anchors are
+            # stripped from TEXT but feed the crawl/link graph
+            href = _href_of(tag_src)
+            if href:
+                links.append(href)
 
         if self_closing:
             if name == "br" and not drop_depth:

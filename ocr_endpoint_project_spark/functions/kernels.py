@@ -74,6 +74,7 @@ def extract_batch(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "error": [],
             "elapsed_ms": [],
             "doc_bytes": [],
+            "out_links": [],
         }
         for payload in batch["html"]:
             raw = bytes(payload) if payload is not None else None
@@ -89,6 +90,7 @@ def extract_batch(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out["error"].append(res.error)
             out["elapsed_ms"].append(res.elapsed_ms)
             out["doc_bytes"].append(len(raw) if raw is not None else 0)
+            out["out_links"].append(res.out_links)
         frame = pd.DataFrame(out)
         frame["partition_id"] = pid
         yield frame

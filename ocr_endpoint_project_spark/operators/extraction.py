@@ -1024,8 +1024,96 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# link graph from KERNEL-EXTRACTED hrefs (round 7): pages are rendered
+# with three deterministic cross-host "related" links
+# (sources/pages._related_links_html), the HTML kernel genuinely parses
+# every <a href> back out (extraction_core/html_extract collects them in
+# the same parse pass), relative links resolve against the page URL, and
+# canonicalize_url collapses tracking-param variants. The oracle predicts
+# the whole pipeline from the construction — if the kernel misses or
+# invents a link, the hash breaks. Scale shape: extraction is the
+# flagship map-only plan; the edge rollup is one groupBy on (src,dst)
+# host pairs (host-cardinality-sized, map-side combinable).
+# ---------------------------------------------------------------------------
+
+
+def extracted_link_edges(extracted):
+    """(url, out_links) -> one row per absolute resolved link:
+    (src_host, dst_host, canonical) — self-links (nav/share resolving to
+    the page's own host) filtered out."""
+    page_host = F.regexp_extract(F.col("url"), r"^https?://([^/]+)", 1)
+    links = extracted.select(
+        page_host.alias("src_host"),
+        F.col("url").alias("page_url"),
+        F.explode("out_links").alias("href"),
+    )
+    absolute = F.when(
+        F.col("href").rlike(r"^https?://"), F.col("href")
+    ).otherwise(
+        F.concat(
+            F.regexp_extract(F.col("page_url"), r"^(https?://[^/]+)", 1),
+            F.col("href"),
+        )
+    )
+    canonical = canonicalize_url(absolute)
+    return (
+        links.select(
+            "src_host",
+            F.regexp_extract(canonical, r"^https?://([^/]+)", 1).alias("dst_host"),
+            canonical.alias("canonical"),
+        )
+        .where(F.col("src_host") != F.col("dst_host"))
+    )
+
+
+def q_web_link_graph(spark, sf_dir):
+    pages = pages_from_documents(spark, sf_dir)
+    extracted = run_extraction(pages, num_partitions=16)
+    return (
+        extracted_link_edges(extracted)
+        .groupBy("src_host", "dst_host")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_links"),
+            F.count_distinct("canonical").cast("bigint").alias("n_unique_targets"),
+        )
+    )
+
+
+# closed-form twin of the construction: k=1 and k=2 are clean targets,
+# k=3 repeats k=1 with ?utm_source=feed (same canonical) — so n_links
+# counts it but n_unique_targets does not. Relative links (nav/share)
+# resolve to the page's own host and are filtered by src != dst, exactly
+# like the Spark side.
+_SQL_LINK_T = """
+  SELECT source || '.example' AS src_host,
+         'src' || CAST((doc_id * 7 + {h}) % 20 AS VARCHAR) || '.example' AS dst_host,
+         'https://src' || CAST((doc_id * 7 + {h}) % 20 AS VARCHAR)
+             || '.example/doc/' || CAST((doc_id * 31 + {p}) % 100000 AS VARCHAR)
+             AS canonical
+  FROM documents
+"""
+
+SQL_WEB_LINK_GRAPH = f"""
+WITH t AS (
+  {_SQL_LINK_T.format(h=1, p=1000)}
+  UNION ALL
+  {_SQL_LINK_T.format(h=2, p=2000)}
+  UNION ALL
+  {_SQL_LINK_T.format(h=1, p=1000)}
+)
+SELECT src_host, dst_host,
+       CAST(count(*) AS BIGINT) AS n_links,
+       CAST(count(DISTINCT canonical) AS BIGINT) AS n_unique_targets
+FROM t
+WHERE src_host != dst_host
+GROUP BY src_host, dst_host
+"""
+
+
 QUERIES = {
     "extract_roundtrip": q_extract_roundtrip,
+    "web_link_graph": q_web_link_graph,
     "ice_time_travel": q_ice_time_travel,
     "ice_changelog": q_ice_changelog,
     "ice_source_read": q_ice_source_read,
@@ -1101,6 +1189,7 @@ FROM strs
 
 ORACLES = {
     "extract_roundtrip": SQL_EXTRACT_ROUNDTRIP,
+    "web_link_graph": SQL_WEB_LINK_GRAPH,
     "ice_time_travel": SQL_ICE_TIME_TRAVEL,
     "ice_changelog": SQL_ICE_CHANGELOG,
     "ice_source_read": SQL_ICE_SOURCE_READ,

@@ -313,31 +313,35 @@ FROM scaled
 # dangling mass dropped — consistently in both engines). The per-iteration
 # plan is the canonical edges⋈ranks shuffle + groupBy(dst) partial agg; at
 # web scale the edge table partitions on src and AQE handles hub skew.
-# Graph synthesized deterministically from the events table (no link
-# column exists in the corpus): src = user_id % H, dst = event_id % H.
-# Three unrolled iterations keep the lineage shallow; a deeper run would
-# localCheckpoint each round exactly like the connected-components loop
-# in operators/cluster.py (plans stay O(1) per iteration).
+# The graph is REAL since round 7: edges come from <a href> values the
+# HTML kernel extracts from the rendered pages (operators/extraction.
+# extracted_link_edges — same construction q_web_link_graph oracles), so
+# pagerank consumes the extraction pipeline's output, not a synthesized
+# proxy. Three unrolled iterations keep the lineage shallow; a deeper run
+# would localCheckpoint each round exactly like the connected-components
+# loop in operators/cluster.py (plans stay O(1) per iteration).
 # ---------------------------------------------------------------------------
 
-_PR_HOSTS = 40
 _PR_INIT = 1_000_000     # ppm
 _PR_ITERS = 3
 
 
-def _edges(ev: DataFrame) -> DataFrame:
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extraction import extracted_link_edges
+    from ..pipeline.extract import run_extraction
+    from ..sources.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    extracted = run_extraction(pages, num_partitions=16)
     return (
-        ev.select(
-            (F.col("user_id") % _PR_HOSTS).cast("bigint").alias("src"),
-            (F.col("event_id") % _PR_HOSTS).cast("bigint").alias("dst"),
-        )
-        .where(F.col("src") != F.col("dst"))
+        extracted_link_edges(extracted)
+        .select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
         .distinct()
     )
 
 
 def q_web_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _edges(_events(spark, sf_dir))
+    edges = _edges(spark, sf_dir)
     nodes = (
         edges.select(F.col("src").alias("host"))
         .union(edges.select(F.col("dst").alias("host")))
@@ -380,12 +384,21 @@ def _sql_pr_iter(prev: str) -> str:
 """
 
 
+def _sql_link_edges() -> str:
+    from .extraction import _SQL_LINK_T
+
+    return f"""
+  SELECT DISTINCT src_host AS src, dst_host AS dst FROM (
+    {_SQL_LINK_T.format(h=1, p=1000)}
+    UNION ALL
+    {_SQL_LINK_T.format(h=2, p=2000)}
+  ) WHERE src_host != dst_host
+"""
+
+
 SQL_WEB_HOST_PAGERANK = f"""
 WITH edges AS (
-  SELECT DISTINCT CAST(user_id % {_PR_HOSTS} AS BIGINT) AS src,
-                  CAST(event_id % {_PR_HOSTS} AS BIGINT) AS dst
-  FROM events
-  WHERE user_id % {_PR_HOSTS} != event_id % {_PR_HOSTS}
+  {_sql_link_edges()}
 ), nodes AS (
   SELECT src AS host FROM edges UNION SELECT dst FROM edges
 ), outdeg AS (

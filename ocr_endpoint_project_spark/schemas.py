@@ -53,6 +53,9 @@ EXTRACTED_SCHEMA = T.StructType(
         T.StructField("error", T.StringType(), True),
         T.StructField("elapsed_ms", T.DoubleType(), True),
         T.StructField("doc_bytes", T.LongType(), True),
+        # raw <a href> values in document order (HTML docs; empty
+        # otherwise) — feeds the link-graph/crawl-frontier operators
+        T.StructField("out_links", T.ArrayType(T.StringType()), True),
         T.StructField("partition_id", T.IntegerType(), True),
     ]
 )

@@ -28,6 +28,38 @@ _POST = (
     "</body></html>"
 )
 
+# cross-host "related" links (round 7): three absolute <a href> targets
+# derived in Catalyst from doc_id, so the kernel-extracted link graph
+# (operators/extraction.q_web_link_graph, trainprep.q_web_host_pagerank)
+# has a closed-form DuckDB twin. The third link duplicates the first
+# with a tracking param — canonicalize_url must collapse them. The list
+# items are pure anchor text (link density 1.0 > 0.35), so the block is
+# scored OUT of extracted_text and byte-identity is untouched.
+_LINK_HOSTS_MOD = 20   # documents.source is src0..src19
+_LINK_PATH_MOD = 100000
+
+
+def _link_target(k: int, utm: bool = False):
+    host = F.pmod(F.col("doc_id") * 7 + F.lit(k), F.lit(_LINK_HOSTS_MOD))
+    path = F.pmod(
+        F.col("doc_id") * 31 + F.lit(k * 1000), F.lit(_LINK_PATH_MOD)
+    )
+    url = F.concat(
+        F.lit("https://src"), host.cast("string"),
+        F.lit(".example/doc/"), path.cast("string"),
+    )
+    return F.concat(url, F.lit("?utm_source=feed")) if utm else url
+
+
+def _related_links_html():
+    return F.concat(
+        F.lit("<div><ul><li><a href='"), _link_target(1),
+        F.lit("'>Related story one follow</a></li><li><a href='"), _link_target(2),
+        F.lit("'>Related story two follow</a></li><li><a href='"),
+        _link_target(1, utm=True),
+        F.lit("'>Related story three follow</a></li></ul></div>"),
+    )
+
 
 def corpus_pages(
     spark: SparkSession, n: int = 200, seed: int = 42, richness: int = 1
@@ -93,7 +125,10 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(secs=F.col("doc_id"))).alias(
             "warc_ts"
         ),
-        F.concat(F.lit(_PRE), F.col("text"), F.lit(_POST)).cast("binary").alias("html"),
+        F.concat(
+            F.lit(_PRE), F.col("text"), F.lit("</p>"), _related_links_html(),
+            F.lit("<p>"), F.lit(_POST)
+        ).cast("binary").alias("html"),
         F.col("text"),
         F.col("lang"),
     )

@@ -60,7 +60,7 @@ def test_html_basic_boilerplate_strip():
         b"<footer><p>Copyright statement long enough to be a block.</p></footer>"
         b"</body></html>"
     )
-    text, spans = extract_html(html)
+    text, spans, _links = extract_html(html)
     assert text == (
         "A Real Headline Here\n\n"
         "This paragraph is long enough to be kept as main content."
@@ -72,18 +72,18 @@ def test_html_basic_boilerplate_strip():
 
 def test_html_whitespace_collapse_and_entities():
     html = b"<p>Alpha   beta\n\tgamma &amp; delta makes this long enough.</p>"
-    text, _ = extract_html(html)
+    text, _, _links = extract_html(html)
     assert text == "Alpha beta gamma & delta makes this long enough."
 
 
 def test_html_link_density_threshold():
     # exactly half the collapsed text inside <a> -> density 0.5 > 0.35 -> dropped
     linky = b"<p><a href='/'>aaaaaaaaaaaaaaaaaaaa</a>bbbbbbbbbbbbbbbbbbbb</p>"
-    text, _ = extract_html(linky)
+    text, _, _links = extract_html(linky)
     assert text == ""
     # light link inside long paragraph is fine
     ok = b"<p>A sufficiently long paragraph where only <a href='/'>tiny</a> is linked text.</p>"
-    text2, _ = extract_html(ok)
+    text2, _, _links = extract_html(ok)
     assert "sufficiently long paragraph" in text2
 
 

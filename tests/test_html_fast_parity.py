@@ -15,7 +15,11 @@ from ocr_endpoint_project_spark.sources.corpus import generate_corpus
 
 
 def both(payload: bytes):
-    return extract_html_blocks_fast(payload), extract_html_blocks_reference(payload)
+    fl: list[str] = []
+    rl: list[str] = []
+    fast = extract_html_blocks_fast(payload, fl)
+    ref = extract_html_blocks_reference(payload, rl)
+    return (fast, fl), (ref, rl)
 
 
 def test_parity_on_corpus():
@@ -56,7 +60,10 @@ def test_parity_fuzz_wellformed():
     @given(st.lists(frag, min_size=0, max_size=25))
     def fuzz(parts):
         payload = "".join(parts).encode("utf-8")
-        assert extract_html_blocks_fast(payload) == extract_html_blocks_reference(payload)
+        fl: list[str] = []
+        rl: list[str] = []
+        assert extract_html_blocks_fast(payload, fl) == extract_html_blocks_reference(payload, rl)
+        assert fl == rl
 
     fuzz()
 
@@ -82,3 +89,35 @@ def test_parity_fuzz_wellformed():
 def test_parity_on_adversarial_markup(payload):
     fast, ref = both(payload)
     assert fast == ref
+
+
+def test_link_collection_parity_and_semantics():
+    """<a href> collection (round 7): both parsers report the same hrefs
+    in document order, including anchors inside dropped chrome (a crawler
+    follows nav links even though the TEXT strips them), attribute quote
+    styles, charref values, and self-closing anchors."""
+    cases = [
+        (b"<p><a href='/x'>y</a> and <a href=\"/z\">w</a></p>", ["/x", "/z"]),
+        (b'<p><a href="/q?a=1&amp;b=2">y</a></p>', ["/q?a=1&b=2"]),
+        (b"<p><a href=bare>y</a></p>", ["bare"]),
+        (b"<p><a class='c' HREF='/up' id='i'>y</a></p>", ["/up"]),
+        (b"<nav><a href='/nav'>n</a></nav><footer><a href='/f'>f</a></footer>", ["/nav", "/f"]),
+        (b"<p><a>no href</a><a href=''>empty</a></p>", []),
+        (b"<p><a href='/s'/></p>", ["/s"]),
+        (b"<script>var s = \"<a href='/not-a-link'>\";</script>", []),
+        (b"<p><a href='https://other.example/d/1?utm_source=x'>t</a></p>",
+         ["https://other.example/d/1?utm_source=x"]),
+    ]
+    for payload, want in cases:
+        (fast, fl), (ref, rl) = both(payload)
+        assert fl == rl == want, (payload, fl, rl, want)
+
+
+def test_link_collection_parity_on_corpus():
+    rows = generate_corpus(n=200, seed=7, richness=2)
+    for r in rows:
+        if r.extension != "html":
+            continue
+        (_, fl), (_, rl) = both(r.html)
+        assert fl == rl
+        assert fl, r.url  # every corpus HTML page carries nav/share links
