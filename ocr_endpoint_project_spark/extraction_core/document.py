@@ -23,6 +23,7 @@ from .sniff import (
     sniff_doc_kind,
 )
 from .html_extract import extract_html
+from .jpeg_pixels import ProgressiveJpegError
 from .pdf_extract import extract_pdf
 from .png_stub import extract_jpeg_text, extract_png_text
 
@@ -32,6 +33,10 @@ ERR_INVALID_FILE_TYPE = "INVALID_FILE_TYPE"
 ERR_FILE_TOO_LARGE = "FILE_TOO_LARGE"
 ERR_OCR_PROVIDER = "OCR_PROVIDER_ERROR"
 ERR_INTERNAL = "INTERNAL_ERROR"
+# r7: progressive (SOF2) JPEGs get their OWN code so the taxonomy can
+# measure how often real crawls would need a progressive decoder before
+# one is built (r6 VERDICT missing #3 / next-round #7)
+ERR_JPEG_PROGRESSIVE = "JPEG_PROGRESSIVE_UNSUPPORTED"
 
 STATUS_OK = "succeeded"
 STATUS_FAILED = "failed"
@@ -98,6 +103,9 @@ def extract_document(payload: bytes | None, max_bytes: int = MAX_DOC_BYTES) -> E
             res.error = ERR_INVALID_FILE_TYPE
         if res.error is None and not res.extracted_text:
             res.error = ERR_OCR_PROVIDER  # empty output is an error (pipeline.py:139-145)
+    except ProgressiveJpegError:
+        res.error = ERR_JPEG_PROGRESSIVE
+        res.extracted_text, res.spans = "", []
     except Exception as exc:  # noqa: BLE001 — poisoned docs become rows, not task failures
         res.error = f"{ERR_INTERNAL}: {type(exc).__name__}: {exc}"
         res.extracted_text, res.spans = "", []

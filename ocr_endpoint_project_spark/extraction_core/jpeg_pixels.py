@@ -37,6 +37,15 @@ import struct
 
 import numpy as np
 
+class ProgressiveJpegError(ValueError):
+    """Progressive (SOF2) stream hit the baseline-only decoder.
+
+    Typed so the pipeline can route these to quarantine with a DISTINCT
+    error code (telemetry for whether a progressive decoder is worth
+    building — real crawl JPEGs are often progressive) instead of a
+    generic decode failure."""
+
+
 JPEG_MAGIC = b"\xff\xd8\xff"
 
 # uniform quantization step for corpus scan pages: the largest power of
@@ -470,7 +479,9 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (fh, fw, comps)
         elif marker == 0xC2:
-            raise ValueError("progressive JPEG not supported (baseline only)")
+            raise ProgressiveJpegError(
+                "progressive JPEG not supported (baseline only)"
+            )
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported frame type 0xFF{marker:02X}")
         elif marker == 0xDD:  # DRI

@@ -41,11 +41,14 @@ _MODULES = (
 # core keeps its coverage via the committed full-registry
 # CORRECTNESS_local_r{N}.json run every round.
 _DRIVER_FIRST = (
+    "web_link_graph",            # new r7 (kernel-extracted link graph)
+    "ice_schema_evolution",      # new r7 (metadata-driven evolution)
+    "web_host_pagerank",         # rewired r7 onto kernel-extracted edges
+    "extract_error_taxonomy",    # r7: +JPEG_PROGRESSIVE_UNSUPPORTED row
     "train_split_assign",        # new r6 (trainprep module)
     "train_split_summary",       # new r6
     "train_pack_sequences",      # new r6
     "train_mix_weights",         # new r6
-    "web_host_pagerank",         # new r6
     "train_sample_per_domain",   # new r6
     "train_vocab_topn",          # new r6
     "train_curriculum",          # new r6

@@ -235,6 +235,23 @@ def job_progress(
     }
 
 
+def ice_done_partitions(spark: SparkSession, table) -> DataFrame | None:
+    """Succeeded partition ids straight from the table's SNAPSHOT LOG
+    (resume's source of truth since round 7): every overwrite snapshot
+    records the partitions it committed in ``replaced_partitions``, so
+    resume state needs no side table — a crash between commit and any
+    bookkeeping can never lose or double-count a partition."""
+    done: set[int] = set()
+    for s in table.snapshots():
+        for p in s["summary"].get("replaced_partitions", []):
+            done.add(int(p))
+    if not done:
+        return None
+    return spark.createDataFrame(
+        [(p,) for p in sorted(done)], "partition_id int"
+    )
+
+
 def run_with_lineage_ice(
     spark: SparkSession,
     pages: DataFrame,
@@ -247,13 +264,17 @@ def run_with_lineage_ice(
     Iceberg").
 
     Each run (or resumed slice of a run) commits ONE snapshot via
-    dynamic partition overwrite — re-running a partition REPLACES it in
-    the new snapshot while every previous snapshot stays readable
-    (snapshot isolation + time travel, ``sources/icetable.py``).  The
-    lineage append stays the commit point and happens only after the
-    table commit returns; a crash in between leaves the snapshot
-    committed but unacknowledged, and the resumed run simply overwrites
-    those partitions again — same rows, idempotent.
+    dynamic partition overwrite, and the run's LINEAGE RIDES IN THE
+    SNAPSHOT SUMMARY (run id, doc/ok/failed/byte counts, an
+    order-insensitive checksum-of-checksums, wall-clock bracket): data
+    and lineage commit ATOMICALLY in the same CAS — there is no window
+    where one exists without the other.  The flow is stage -> derive
+    lineage from the staged files (the kernel ran exactly once; the
+    staged parquet is blob-free) -> commit; a crash before the commit
+    leaves only unreferenced files.  Resume reads the snapshot log
+    (:func:`ice_done_partitions`), never a side table.  The per-partition
+    lineage parquet is still appended AFTER the commit as a derived
+    convenience mirror for ``job_progress`` — losing it loses nothing.
     """
     from ..sources.icetable import IceTable
 
@@ -266,34 +287,60 @@ def run_with_lineage_ice(
             table_dir, partition_col="partition_id", stat_cols=["url", "doc_bytes"]
         )
 
-    done = resume_filter(spark, lineage_dir)
+    done = ice_done_partitions(spark, table)
     extracted = run_extraction(pages, num_partitions=num_partitions, done_partitions=done)
 
     started_at = datetime.now(timezone.utc)  # before the data write
-    snap = table.overwrite_partitions(
+    entries = table.stage_overwrite(
         # blob-free re-cluster by the logical id (see run_with_lineage)
         extracted.repartition(num_partitions, F.col("partition_id"))
     )
-    # commit point: lineage appended only after the table commit returned
-    replaced = set(snap["summary"]["replaced_partitions"])
-    if replaced:
-        done_rows = table.scan(spark, partition_values=replaced)
-        lin = lineage_rows(
-            done_rows, run_id, started_at=started_at, partitions_total=num_partitions
+    lin = None
+    lineage_summary = {
+        "doc_count": 0, "ok_count": 0, "failed_count": 0,
+        "byte_count": 0, "checksum": None,
+    }
+    if entries:
+        staged = spark.read.option("basePath", table.data_dir).parquet(
+            *[os.path.join(table.table_dir, e["path"]) for e in entries]
         )
-        lin = lin.withColumn("snapshot_id", F.lit(int(snap["snapshot_id"])))
-        lin.write.mode("append").parquet(lineage_dir)
+        lin = lineage_rows(
+            staged, run_id, started_at=started_at, partitions_total=num_partitions
+        )
+        row = lin.agg(
+            F.sum("doc_count").alias("doc_count"),
+            F.sum("ok_count").alias("ok_count"),
+            F.sum("failed_count").alias("failed_count"),
+            F.sum("byte_count").alias("byte_count"),
+            F.md5(
+                F.concat_ws("", F.sort_array(F.collect_list("checksum")))
+            ).alias("checksum"),
+        ).collect()[0]
+        lineage_summary = {k: (int(row[k]) if k != "checksum" else row[k])
+                           for k in lineage_summary}
+    snap = table.commit_overwrite(
+        entries,
+        extra_summary={
+            "run_id": run_id,
+            "started_at": started_at.isoformat(),
+            "finished_at": datetime.now(timezone.utc).isoformat(),
+            "partitions_total": num_partitions,
+            "lineage": lineage_summary,
+        },
+    )
+    if lin is not None:
+        # derived mirror (see docstring) — written only after the commit
+        lin.withColumn("snapshot_id", F.lit(int(snap["snapshot_id"]))).write.mode(
+            "append"
+        ).parquet(lineage_dir)
 
     n_done = 0 if done is None else done.count()
-    try:
-        lin_total = latest_lineage(spark.read.parquet(lineage_dir)).count()
-    except Exception:  # noqa: BLE001 — an all-resumed/empty run wrote none
-        lin_total = 0
+    done_now = ice_done_partitions(spark, table)
     return {
         "run_id": run_id,
         "snapshot_id": int(snap["snapshot_id"]),
         "resumed_partitions_skipped": n_done,
-        "partitions_total": lin_total,
+        "partitions_total": 0 if done_now is None else done_now.count(),
         "table_dir": table_dir,
         "lineage_dir": lineage_dir,
     }

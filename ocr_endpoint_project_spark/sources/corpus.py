@@ -35,7 +35,12 @@ from ..extraction_core.png_stub import make_jpeg_glyph_scan, make_png_glyph_scan
 # (v3 existed briefly with uncapped JPEG pages; never committed.)
 # v5 (round 6): ~30% of Arabic paragraphs embed a 1-2 token Latin run
 # (mixed-direction lines — the two-level bidi reading-order case).
-CORPUS_VERSION = 5
+# v6 (round 7): every other binary-noise failure row becomes a
+# PROGRESSIVE (SOF2) JPEG stub — real crawls are full of progressive
+# JPEGs, and the extraction taxonomy must route them to a distinct
+# JPEG_PROGRESSIVE_UNSUPPORTED code (decode-need telemetry), not a
+# generic decode error. Derived without touching the rng stream.
+CORPUS_VERSION = 6
 
 EN_WORDS = (
     "data system pipeline content page extract crawl table spark batch "
@@ -51,6 +56,17 @@ AR_WORDS = (
 ).split()
 
 VOCAB = {"en": EN_WORDS, "fr": FR_WORDS, "ar": AR_WORDS}
+
+# minimal progressive JPEG: SOI + SOF2 frame header. Sniffs as JPEG
+# (magic FFD8FF), and the baseline decoder raises ProgressiveJpegError
+# at the SOF2 marker — exactly what a progressive Common-Crawl image
+# does to this pipeline.
+import struct as _struct
+
+PROGRESSIVE_JPEG_STUB = (
+    b"\xff\xd8\xff\xc2" + _struct.pack(">H", 11)
+    + b"\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+)
 
 SKEWED_HOST = "skewed-host.example"
 HOSTS = ("alpha.example", "beta.example", "gamma.example", "delta.example")
@@ -300,9 +316,15 @@ def generate_corpus(
             if sub == 0:
                 rows.append(PageRow(url, ts, b"", "", lang, "bin", "mono", 0, 1))
             elif sub == 1:
-                rows.append(
-                    PageRow(url, ts, b"\x00\x01binary-noise\x02", "", lang, "bin", "mono", 0, 1)
+                # alternate noise / progressive-JPEG failure payloads
+                # ((i//29) parity — rng stream untouched, corpus v6)
+                payload = (
+                    PROGRESSIVE_JPEG_STUB
+                    if (i // 29) % 2 == 1
+                    else b"\x00\x01binary-noise\x02"
                 )
+                ext = "jpg" if payload is PROGRESSIVE_JPEG_STUB else "bin"
+                rows.append(PageRow(url, ts, payload, "", lang, ext, "mono", 0, 1))
             else:  # html payload but golden text missing -> skip-with-reason path
                 blocks = _content_blocks(rng, lang, richness)
                 rows.append(

@@ -384,6 +384,23 @@ class IceTable:
 
         return self._commit("append", build)
 
+    def stage_overwrite(self, df: DataFrame) -> list[dict]:
+        """Phase 1 of a dynamic partition overwrite: write ``df``'s data
+        files into the table layout and return their manifest entries —
+        NOTHING is committed yet (a crash leaves harmless orphans).
+
+        Callers that need commit-time metadata derived from the staged
+        rows (e.g. the extraction sink's lineage summary) read the
+        entries' files between this and :meth:`commit_overwrite`, so the
+        expensive producing plan runs exactly once.
+        """
+        meta0 = self.metadata()
+        if meta0["partition_col"] is None:
+            raise ValueError("overwrite_partitions needs a partitioned table")
+        entries = self._stage_data(df, meta0, meta0["last_sequence"] + 1)
+        self._pending_schema = df.schema.jsonValue()
+        return entries
+
     def overwrite_partitions(self, df: DataFrame, extra_summary: dict | None = None) -> dict:
         """Dynamic partition overwrite: replace exactly the partitions in ``df``.
 
@@ -395,11 +412,12 @@ class IceTable:
         makes two writers overwriting DISJOINT partitions both succeed —
         serialized, neither lost.
         """
-        meta0 = self.metadata()
-        if meta0["partition_col"] is None:
-            raise ValueError("overwrite_partitions needs a partitioned table")
-        entries = self._stage_data(df, meta0, meta0["last_sequence"] + 1)
-        self._pending_schema = df.schema.jsonValue()
+        return self.commit_overwrite(self.stage_overwrite(df), extra_summary)
+
+    def commit_overwrite(
+        self, entries: list[dict], extra_summary: dict | None = None
+    ) -> dict:
+        """Phase 2: publish staged entries as one overwrite snapshot."""
         touched = {e["partition"] for e in entries}
 
         def build(meta: dict, seq: int, token: str):

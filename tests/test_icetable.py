@@ -489,3 +489,42 @@ def test_stage_data_unescapes_hive_partition_values(spark, tmp_path):
     got = t.scan(spark, partition_values={"a b/c:d"})
     assert [r.k for r in got.collect()] == [1]
     assert got.collect()[0].host == "a b/c:d"
+
+
+def test_ice_sink_lineage_in_summary_and_log_resume(spark, tmp_path):
+    """r6 VERDICT #6: lineage rides in the snapshot summary (atomic with
+    the data commit), and resume derives from the SNAPSHOT LOG — losing
+    the derived lineage parquet mirror loses nothing."""
+    import shutil
+
+    from ocr_endpoint_project_spark.pipeline.lineage import (
+        ice_done_partitions,
+        run_with_lineage_ice,
+    )
+    from ocr_endpoint_project_spark.sources.pages import corpus_pages
+
+    pages = corpus_pages(spark, n=40, seed=11).cache()
+    out = str(tmp_path / "job")
+    r1 = run_with_lineage_ice(spark, pages, out, run_id="rA", num_partitions=8)
+    table = IceTable.load(r1["table_dir"])
+    s = table.snapshots()[-1]["summary"]
+    # lineage committed atomically with the data
+    assert s["run_id"] == "rA"
+    assert s["partitions_total"] == 8
+    assert s["lineage"]["doc_count"] == 40
+    assert s["lineage"]["ok_count"] + s["lineage"]["failed_count"] == 40
+    assert s["lineage"]["byte_count"] > 0
+    assert len(s["lineage"]["checksum"]) == 32
+    assert s["started_at"] < s["finished_at"]
+    # resume state comes from the snapshot log, not the parquet mirror
+    shutil.rmtree(r1["lineage_dir"])
+    done = ice_done_partitions(spark, table)
+    assert done is not None and done.count() == 8
+    r2 = run_with_lineage_ice(spark, pages, out, run_id="rB", num_partitions=8)
+    assert r2["resumed_partitions_skipped"] == 8
+    assert table.scan(spark).count() == 40
+    # the all-resumed run still committed a (0-partition) snapshot with
+    # its own lineage record
+    s2 = table.snapshots()[-1]["summary"]
+    assert s2["run_id"] == "rB" and s2["lineage"]["doc_count"] == 0
+    pages.unpersist()

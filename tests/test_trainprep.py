@@ -68,7 +68,9 @@ def test_mix_weights_sum_and_direction(spark):
 
 
 def test_pagerank_floor_and_sources(spark):
-    edges = tp._edges(tp._events(spark, SF))
+    # r7: edges come from kernel-extracted <a href> links, not a
+    # synthesized events-table graph
+    edges = tp._edges(spark, SF)
     with_in = {r.dst for r in edges.select("dst").distinct().collect()}
     ranks = {r.host: r.rank_ppm for r in tp.q_web_host_pagerank(spark, SF).collect()}
     for host, r in ranks.items():
