@@ -32,14 +32,19 @@ Commit protocol (optimistic concurrency / snapshot isolation):
    table still reads at the old snapshot);
 2. write the new manifest + manifest list;
 3. render ``v{N+1}.metadata.json`` to a temp name and publish it with an
-   atomic compare-and-swap (``os.link`` — fails with EEXIST if another
-   writer claimed N+1).  The loser re-reads the now-current metadata,
-   re-validates (appends always merge; overwrites re-check partition
-   conflicts) and retries against N+2.  Readers resolve the current
-   version ONCE and then touch only immutable files, so a scan never
-   observes a half-commit.  On HDFS the same CAS is
-   rename-without-overwrite; on S3 you would put the version pointer in
-   a catalog (documented, out of scope for the sandbox).
+   atomic compare-and-swap: ``os.link`` on plain paths (EEXIST = lost
+   race), ``FileContext.rename(Options.Rename.NONE)`` on Hadoop
+   FileSystem URIs (r7 — all storage IO routes through the ``_LocalIO``
+   / ``_HadoopIO`` backends below, so ``file:``/``hdfs:``/``s3a:``
+   tables work end to end; tests run the full lifecycle against
+   ``file:`` through the Hadoop client).  The loser re-reads the
+   now-current metadata, re-validates (appends always merge; overwrites
+   re-check partition conflicts) and retries against N+2.  Readers
+   resolve the current version ONCE and then touch only immutable
+   files, so a scan never observes a half-commit.  The one remaining
+   object-store caveat: S3 has no atomic rename, so a production S3
+   deployment swaps ONLY ``_HadoopIO.cas_write`` for a catalog
+   conditional-put (Glue/DynamoDB/REST) — exactly Iceberg's own answer.
 
 ``version-hint.text`` is a best-effort pointer (exactly Iceberg's
 HadoopCatalog hint file); readers fall back to listing the metadata dir.
@@ -55,6 +60,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 
@@ -67,13 +73,246 @@ def _meta_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, "metadata", f"v{version}.metadata.json")
 
 
+# ---------------------------------------------------------------------------
+# storage backends (r7, VERDICT #2): every metadata/staging IO routes
+# through an IO object, so the table format runs on any Hadoop
+# FileSystem (``file:``, ``hdfs:``, ``s3a:`` via the JVM FS client) and
+# not just the local POSIX disk — the same migration
+# ``jobs/compact_job.py`` made in r5. Plain paths keep the original
+# os-based fast path, whose ``os.link`` CAS is truly atomic.
+# ---------------------------------------------------------------------------
+
+_URI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:/")
+
+
+def _io_for(path: str):
+    return _HadoopIO(path) if _URI_RE.match(path) else _LocalIO()
+
+
+class _LocalIO:
+    """POSIX-path backend — the original implementation, byte-for-byte."""
+
+    def read_bytes(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+    def cas_write(self, dst: str, data: bytes, tmp: str) -> bool:
+        """Create ``dst`` with ``data`` iff absent.  ``os.link`` is an
+        atomic create-if-absent on POSIX (EEXIST = lost race)."""
+        self.write_bytes(tmp, data)
+        try:
+            os.link(tmp, dst)
+        except FileExistsError:
+            return False
+        finally:
+            if os.path.exists(dst):
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+        return True
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def mkdirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def delete(self, path: str) -> None:
+        os.unlink(path)
+
+    def delete_recursive(self, path: str) -> None:
+        shutil.rmtree(path, ignore_errors=True)
+
+    def rename(self, src: str, dst: str) -> None:
+        os.replace(src, dst)
+
+    def list_files(self, path: str):
+        for root, _dirs, files in os.walk(path):
+            for name in files:
+                yield os.path.join(root, name)
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)
+
+    def open_seekable(self, path: str):
+        return open(path, "rb")
+
+
+class _HadoopIO:
+    """Hadoop FileSystem backend (driver-side py4j against the session's
+    JVM — executors never touch table metadata).
+
+    CAS = ``FileContext.rename(src, dst, Options.Rename.NONE)``: atomic
+    rename-without-overwrite on HDFS (the namenode serializes it); on
+    the local AbstractFileSystem it is check-then-rename, so same-host
+    multi-writer setups should prefer plain paths (``_LocalIO``'s
+    ``os.link`` is truly atomic).  S3 has no atomic rename either — a
+    production S3 deployment swaps ONLY :meth:`cas_write` for a catalog
+    CAS (Glue / DynamoDB / REST catalog conditional put), exactly
+    Iceberg's own answer; every other operation here is plain object IO.
+    """
+
+    def __init__(self, any_path: str):
+        # getActiveSession() is THREAD-local; concurrent writers commit
+        # from their own threads, so fall back to the process-wide
+        # instantiated session
+        spark = SparkSession.getActiveSession() or getattr(
+            SparkSession, "_instantiatedSession", None
+        )
+        if spark is None:
+            raise RuntimeError(
+                "icetable on a URI path needs an active SparkSession "
+                "(the Hadoop FS client lives in the JVM)"
+            )
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+        self._gw = spark.sparkContext._gateway
+        p = self._path(any_path)
+        self._fs = p.getFileSystem(self._conf)
+        self._fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            p.toUri(), self._conf
+        )
+
+    def _path(self, p: str):
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    def read_bytes(self, path: str) -> bytes:
+        stream = self._fs.open(self._path(path))
+        try:
+            # byte[] return values auto-convert to Python bytes
+            return bytes(
+                self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        out = self._fs.create(self._path(path), True)
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
+
+    def cas_write(self, dst: str, data: bytes, tmp: str) -> bool:
+        self.write_bytes(tmp, data)
+        Rename = self._jvm.org.apache.hadoop.fs.Options.Rename
+        arr = self._gw.new_array(Rename, 1)
+        arr[0] = Rename.NONE
+        try:
+            self._fc.rename(self._path(tmp), self._path(dst), arr)
+            return True
+        except Exception as e:  # Py4JJavaError
+            jexc = getattr(e, "java_exception", None)
+            cls = jexc.getClass().getName() if jexc is not None else ""
+            if "FileAlreadyExistsException" in cls:
+                try:
+                    self._fs.delete(self._path(tmp), False)
+                except Exception:  # noqa: BLE001 — tmp cleanup is best-effort
+                    pass
+                return False
+            raise
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs.exists(self._path(path)))
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.mkdirs(self._path(path))
+
+    def delete(self, path: str) -> None:
+        self._fs.delete(self._path(path), False)
+
+    def delete_recursive(self, path: str) -> None:
+        self._fs.delete(self._path(path), True)
+
+    def rename(self, src: str, dst: str) -> None:
+        self._fs.rename(self._path(src), self._path(dst))
+
+    def list_files(self, path: str):
+        if not self.exists(path):
+            return
+        it = self._fs.listFiles(self._path(path), True)
+        while it.hasNext():
+            yield it.next().getPath().toString()
+
+    def size(self, path: str) -> int:
+        return int(self._fs.getFileStatus(self._path(path)).getLen())
+
+    def open_seekable(self, path: str):
+        return _HadoopSeekableFile(
+            self._fs.open(self._path(path)), self.size(path), self._jvm
+        )
+
+
+class _HadoopSeekableFile:
+    """Minimal seekable file-like over ``FSDataInputStream`` for
+    pyarrow's footer reads (a handful of small seek+read calls/file)."""
+
+    def __init__(self, stream, size: int, jvm):
+        self._s = stream
+        self._size = size
+        self._jvm = jvm
+        self.closed = False
+
+    def seekable(self):
+        return True
+
+    def readable(self):
+        return True
+
+    def writable(self):
+        return False
+
+    def tell(self) -> int:
+        return int(self._s.getPos())
+
+    def seek(self, pos: int, whence: int = 0) -> int:
+        if whence == 1:
+            pos += self.tell()
+        elif whence == 2:
+            pos += self._size
+        self._s.seek(pos)
+        return pos
+
+    def size(self) -> int:
+        return self._size
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            n = self._size - self.tell()
+        n = min(n, self._size - self.tell())
+        if n <= 0:
+            return b""
+        return bytes(
+            self._jvm.org.apache.commons.io.IOUtils.toByteArray(self._s, n)
+        )
+
+    def close(self) -> None:
+        if not self.closed:
+            self._s.close()
+            self.closed = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
 def _write_json(path: str, obj) -> None:
-    tmp = path + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(obj, f, sort_keys=True)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
+    """Local-path JSON write (kept for the executor-side streaming sink,
+    which runs without a py4j gateway; IceTable routes through its IO)."""
+    _LocalIO().write_bytes(
+        path, json.dumps(obj, sort_keys=True).encode("utf-8")
+    )
 
 
 def _read_json(path: str):
@@ -81,31 +320,13 @@ def _read_json(path: str):
         return json.load(f)
 
 
-def _cas_publish(tmp: str, dst: str) -> bool:
-    """Atomically claim ``dst``; False if another writer got there first.
-
-    ``os.link`` is an atomic create-if-absent on POSIX (EEXIST on loss).
-    The HDFS twin is ``rename(overwrite=false)``; an object-store
-    deployment swaps this one function for a catalog CAS.
-    """
-    try:
-        os.link(tmp, dst)
-    except FileExistsError:
-        return False
-    finally:
-        if os.path.exists(dst):
-            try:
-                os.unlink(tmp)
-            except OSError:
-                pass
-    return True
-
-
-def _file_stats(path: str, stat_cols: list[str]) -> dict:
+def _file_stats(path: str, stat_cols: list[str], io=None) -> dict:
     """Row/byte counts + per-column min/max from the parquet FOOTER only."""
     import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(path).metadata
+    io = io or _LocalIO()
+    with io.open_seekable(path) as f:
+        md = pq.ParquetFile(f).metadata
     lo: dict = {}
     hi: dict = {}
     name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
@@ -126,7 +347,7 @@ def _file_stats(path: str, stat_cols: list[str]) -> dict:
             hi[col] = mx if col not in hi else max(hi[col], mx)
     return {
         "rows": md.num_rows,
-        "bytes": os.path.getsize(path),
+        "bytes": io.size(path),
         "min": lo,
         "max": hi,
     }
@@ -145,6 +366,27 @@ class IceTable:
         self.table_dir = table_dir
         self.data_dir = os.path.join(table_dir, "data")
         self.meta_dir = os.path.join(table_dir, "metadata")
+        self._io = None
+
+    @property
+    def io(self):
+        """Storage backend, resolved lazily from the path scheme (plain
+        path -> POSIX; ``scheme:/...`` -> Hadoop FileSystem)."""
+        if self._io is None:
+            self._io = _io_for(self.table_dir)
+        return self._io
+
+    def _rj(self, path: str):
+        return json.loads(self.io.read_bytes(path))
+
+    def _wj(self, path: str, obj) -> None:
+        self.io.write_bytes(path, json.dumps(obj, sort_keys=True).encode("utf-8"))
+
+    def _cas_json(self, dst: str, obj, token: str) -> bool:
+        return self.io.cas_write(
+            dst, json.dumps(obj, sort_keys=True).encode("utf-8"),
+            dst + f".claim-{token}",
+        )
 
     # -- catalog ----------------------------------------------------------
 
@@ -156,9 +398,9 @@ class IceTable:
         stat_cols: list[str] | None = None,
     ) -> "IceTable":
         t = cls(table_dir)
-        os.makedirs(t.data_dir, exist_ok=True)
-        os.makedirs(t.meta_dir, exist_ok=True)
-        if os.path.exists(_meta_path(table_dir, 1)):
+        t.io.mkdirs(t.data_dir)
+        t.io.mkdirs(t.meta_dir)
+        if t.io.exists(_meta_path(table_dir, 1)):
             raise FileExistsError(f"table already exists at {table_dir}")
         meta = {
             "format": "icetable/1",
@@ -168,8 +410,7 @@ class IceTable:
             "current_snapshot_id": None,
             "last_sequence": 0,
         }
-        _write_json(_meta_path(table_dir, 1) + ".v0", meta)
-        if not _cas_publish(_meta_path(table_dir, 1) + ".v0", _meta_path(table_dir, 1)):
+        if not t._cas_json(_meta_path(table_dir, 1), meta, "v0"):
             raise FileExistsError(f"concurrent create at {table_dir}")
         t._write_hint(1)
         return t
@@ -181,25 +422,25 @@ class IceTable:
         return t
 
     def _write_hint(self, version: int) -> None:
-        _write_json(os.path.join(self.meta_dir, _HINT), {"version": version})
+        self._wj(os.path.join(self.meta_dir, _HINT), {"version": version})
 
     def current_version(self) -> int:
         """Newest committed metadata version (hint fast-path, list fallback)."""
         hint = os.path.join(self.meta_dir, _HINT)
         v = 0
-        if os.path.exists(hint):
+        if self.io.exists(hint):
             try:
-                v = int(_read_json(hint)["version"])
+                v = int(self._rj(hint)["version"])
             except (ValueError, KeyError, json.JSONDecodeError):
                 v = 0
-        while os.path.exists(_meta_path(self.table_dir, v + 1)):
+        while self.io.exists(_meta_path(self.table_dir, v + 1)):
             v += 1  # hint is best-effort; walk forward to the true head
         if v == 0:
             raise FileNotFoundError(f"no icetable metadata in {self.meta_dir}")
         return v
 
     def metadata(self, version: int | None = None) -> dict:
-        return _read_json(
+        return self._rj(
             _meta_path(self.table_dir, version or self.current_version())
         )
 
@@ -220,50 +461,56 @@ class IceTable:
         a crashed writer's orphans from colliding with a later commit.
         """
         import secrets
+        from urllib.parse import unquote
 
         token = secrets.token_hex(4)
         pcol = meta["partition_col"]
         scratch = os.path.join(self.table_dir, f"_stage-{seq}-{token}")
-        shutil.rmtree(scratch, ignore_errors=True)
+        self.io.delete_recursive(scratch)
         writer = df.write.mode("overwrite")
         if pcol is not None:
             writer = writer.partitionBy(pcol)
         writer.parquet(scratch)
 
         entries: list[dict] = []
-        for root, _dirs, files in os.walk(scratch):
-            rel_dir = os.path.relpath(root, scratch)
+        made_dirs: set[str] = set()
+        counter = 0
+        for src in sorted(self.io.list_files(scratch)):
+            rel = os.path.relpath(src, scratch)
+            if not rel.endswith(".parquet"):
+                continue
+            rel_dir = os.path.dirname(rel)
             part_val = None
-            if pcol is not None and rel_dir != ".":
+            if pcol is not None and rel_dir:
                 # hive-style "pcol=value" path component.  Spark escapes
                 # special chars (space, '/', ':', '%'…) as %XX when
                 # writing partition dirs and unescapes them when reading
                 # with basePath — unescape here too, or string partition
                 # values in the manifest would diverge from the column
                 # values and plan_files/pushFilters could wrongly prune.
-                from urllib.parse import unquote
-
                 part_val = unquote(rel_dir.split("=", 1)[1])
-            for i, name in enumerate(sorted(files)):
-                if not name.endswith(".parquet"):
-                    continue
-                dst_dir = (
-                    self.data_dir
-                    if rel_dir == "."
-                    else os.path.join(self.data_dir, rel_dir)
-                )
-                os.makedirs(dst_dir, exist_ok=True)
-                dst = os.path.join(dst_dir, f"snap{seq}-{token}-part-{i:05d}.parquet")
-                os.link(os.path.join(root, name), dst)
-                st = _file_stats(dst, meta["stat_cols"])
-                entries.append(
-                    {
-                        "path": os.path.relpath(dst, self.table_dir),
-                        "partition": part_val,
-                        **st,
-                    }
-                )
-        shutil.rmtree(scratch, ignore_errors=True)
+            dst_dir = (
+                self.data_dir
+                if not rel_dir
+                else os.path.join(self.data_dir, rel_dir)
+            )
+            if dst_dir not in made_dirs:
+                self.io.mkdirs(dst_dir)
+                made_dirs.add(dst_dir)
+            dst = os.path.join(
+                dst_dir, f"snap{seq}-{token}-part-{counter:05d}.parquet"
+            )
+            counter += 1
+            self.io.rename(src, dst)
+            st = _file_stats(dst, meta["stat_cols"], io=self.io)
+            entries.append(
+                {
+                    "path": os.path.relpath(dst, self.table_dir),
+                    "partition": part_val,
+                    **st,
+                }
+            )
+        self.io.delete_recursive(scratch)
         entries.sort(key=lambda e: e["path"])
         return entries
 
@@ -287,7 +534,7 @@ class IceTable:
             manifest_names, summary = build(meta, seq, token)
             snap_id = seq
             list_name = f"snap-{snap_id}-{token}.manifest-list.json"
-            _write_json(os.path.join(self.meta_dir, list_name), manifest_names)
+            self._wj(os.path.join(self.meta_dir, list_name), manifest_names)
             new_meta = dict(meta)
             new_meta["last_sequence"] = seq
             new_meta["current_snapshot_id"] = snap_id
@@ -310,9 +557,9 @@ class IceTable:
                     "summary": summary,
                 }
             ]
-            tmp = _meta_path(self.table_dir, version + 1) + f".claim-{token}"
-            _write_json(tmp, new_meta)
-            if _cas_publish(tmp, _meta_path(self.table_dir, version + 1)):
+            if self._cas_json(
+                _meta_path(self.table_dir, version + 1), new_meta, token
+            ):
                 self._write_hint(version + 1)
                 self._pending_schema = None
                 return new_meta["snapshots"][-1]
@@ -341,7 +588,7 @@ class IceTable:
 
         def build(meta: dict, seq: int, token: str):
             name = f"manifest-{seq}-{token}-0.json"
-            _write_json(os.path.join(self.meta_dir, name), entries)
+            self._wj(os.path.join(self.meta_dir, name), entries)
             parent = self._current_manifest_names(meta)
             summary = self._manifest_summary(entries)
             summary["added_files"] = summary.pop("files")
@@ -372,7 +619,7 @@ class IceTable:
 
         def build(meta: dict, seq: int, token: str):
             name = f"manifest-{seq}-{token}-0.json"
-            _write_json(os.path.join(self.meta_dir, name), entries)
+            self._wj(os.path.join(self.meta_dir, name), entries)
             parent = self._current_manifest_names(meta)
             summary = self._manifest_summary(entries)
             summary["added_files"] = summary.pop("files")
@@ -422,19 +669,19 @@ class IceTable:
 
         def build(meta: dict, seq: int, token: str):
             name = f"manifest-{seq}-{token}-0.json"
-            _write_json(os.path.join(self.meta_dir, name), entries)
+            self._wj(os.path.join(self.meta_dir, name), entries)
             kept: list[dict] = []
             k = 1
             for m in self._current_manifest_names(meta):
                 if not set(m["partitions"]) & touched:
                     kept.append(m)  # untouched manifest reused verbatim
                     continue
-                old = _read_json(os.path.join(self.meta_dir, m["name"]))
+                old = self._rj(os.path.join(self.meta_dir, m["name"]))
                 rest = [e for e in old if e["partition"] not in touched]
                 if rest:
                     rname = f"manifest-{seq}-{token}-{k}.json"
                     k += 1
-                    _write_json(os.path.join(self.meta_dir, rname), rest)
+                    self._wj(os.path.join(self.meta_dir, rname), rest)
                     kept.append({"name": rname, **self._manifest_summary(rest)})
             summary = self._manifest_summary(entries)
             summary["replaced_partitions"] = sorted(touched)
@@ -481,7 +728,7 @@ class IceTable:
         )
         if entry is None:
             raise ValueError(f"snapshot {snap_id} unknown or expired")
-        return _read_json(os.path.join(self.meta_dir, entry["manifest_list"]))
+        return self._rj(os.path.join(self.meta_dir, entry["manifest_list"]))
 
     def _current_manifest_names(self, meta: dict) -> list[dict]:
         return self._manifest_list_for(meta, meta["current_snapshot_id"])
@@ -530,7 +777,7 @@ class IceTable:
         for m in self._manifest_list_for(meta, snap_id):
             if want is not None and m["partitions"] and not set(m["partitions"]) & want:
                 continue  # manifest-level prune: file list never opened
-            for e in _read_json(os.path.join(self.meta_dir, m["name"])):
+            for e in self._rj(os.path.join(self.meta_dir, m["name"])):
                 if want is not None and e["partition"] is not None and e["partition"] not in want:
                     continue
                 if stats_ranges:
@@ -633,7 +880,7 @@ class IceTable:
             for m in manifests:
                 if m["name"] in skip_names:
                     continue
-                for e in _read_json(os.path.join(self.meta_dir, m["name"])):
+                for e in self._rj(os.path.join(self.meta_dir, m["name"])):
                     out[e["path"]] = e
             return out
 
@@ -821,15 +1068,13 @@ class IceTable:
         live: set[str] = set()
         for s in meta["snapshots"]:
             for m in self._manifest_list_for(meta, s["snapshot_id"]):
-                for e in _read_json(os.path.join(self.meta_dir, m["name"])):
+                for e in self._rj(os.path.join(self.meta_dir, m["name"])):
                     live.add(e["path"])
         removed = 0
-        for root, _dirs, fnames in os.walk(self.data_dir):
-            for name in fnames:
-                p = os.path.join(root, name)
-                if os.path.relpath(p, self.table_dir) not in live:
-                    os.unlink(p)
-                    removed += 1
+        for p in list(self.io.list_files(self.data_dir)):
+            if os.path.relpath(p, self.table_dir) not in live:
+                self.io.delete(p)
+                removed += 1
         return removed
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:

@@ -136,24 +136,24 @@ def test_cas_loser_retries_against_new_head(spark, tmp_path, monkeypatch):
     """A genuinely lost CAS: an adversary commits between our metadata
     read and our publish — the loser must retry against the new head,
     reusing its already-staged data files."""
-    from ocr_endpoint_project_spark.sources import icetable as mod
+    from ocr_endpoint_project_spark.sources.icetable import _LocalIO
 
     t = IceTable.create(str(tmp_path / "t"), partition_col="part", stat_cols=[])
     t.append(_df(spark, 0, 10))
     v = t.current_version()
-    real_cas = mod._cas_publish
+    real_cas = _LocalIO.cas_write
     fired = {"n": 0}
 
-    def race_cas(tmp, dst):
+    def race_cas(self, dst, data, tmp):
         if fired["n"] == 0:
             fired["n"] += 1
             # adversary claims the version we are about to publish
             meta = t.metadata()
             with open(dst, "w", encoding="utf-8") as f:
                 json.dump(meta, f)
-        return real_cas(tmp, dst)
+        return real_cas(self, dst, data, tmp)
 
-    monkeypatch.setattr(mod, "_cas_publish", race_cas)
+    monkeypatch.setattr(_LocalIO, "cas_write", race_cas)
     t.append(_df(spark, 10, 30))  # loses v+1, must land at v+2
     assert fired["n"] == 1
     assert t.current_version() == v + 2

@@ -1,0 +1,128 @@
+"""Icetable on the Hadoop FileSystem API (r7, VERDICT #2): the same
+table lifecycle, but with a ``file:`` URI table dir so every metadata
+and staging operation goes through ``_HadoopIO`` (py4j -> JVM
+``org.apache.hadoop.fs``) — the code path an ``hdfs://`` or ``s3a://``
+deployment exercises, minus only the object-store-specific CAS caveat
+documented on the class."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_endpoint_project_spark.sources.icetable import (
+    IceTable,
+    _HadoopIO,
+    _io_for,
+    _LocalIO,
+)
+
+
+def _df(spark, lo, hi, factor=1):
+    return (
+        spark.range(lo, hi)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") * factor).alias("v"),
+            F.pmod(F.col("id"), F.lit(4)).cast("int").alias("part"),
+        )
+        .repartition(4, "part")
+    )
+
+
+def test_io_backend_selection(spark):
+    from ocr_endpoint_project_spark.sources.icetable import _URI_RE
+
+    assert isinstance(_io_for("/plain/path"), _LocalIO)
+    assert isinstance(_io_for("file:/plain/path"), _HadoopIO)
+    # scheme detection (instantiating hdfs:// would try to connect)
+    assert _URI_RE.match("hdfs://nn:8020/x")
+    assert _URI_RE.match("s3a://bucket/x")
+    assert not _URI_RE.match("/plain/path")
+
+
+def test_lifecycle_on_file_uri(spark, tmp_path):
+    """create / append / overwrite / time-travel / plan_files pruning,
+    all through the Hadoop FS client."""
+    tdir = "file:" + str(tmp_path / "t")
+    t = IceTable.create(tdir, partition_col="part", stat_cols=["k"])
+    assert isinstance(t.io, _HadoopIO)
+
+    s1 = t.append(_df(spark, 0, 40))
+    t.append(_df(spark, 40, 60))
+    assert t.scan(spark).count() == 60
+    assert {r.k for r in t.scan(spark, partition_values={1}).collect()} == {
+        k for k in range(60) if k % 4 == 1
+    }
+
+    # dynamic partition overwrite + time travel across it: part 0 had 15
+    # rows (k in 0..56 step 4), replaced by the 10 rows of range(0,40)
+    t.overwrite_partitions(_df(spark, 0, 40, factor=3).filter("part = 0"))
+    got = t.scan(spark)
+    assert got.count() == 55
+    assert got.filter("part = 0").agg(F.sum("v")).collect()[0][0] == 3 * sum(
+        k for k in range(40) if k % 4 == 0
+    )
+    assert t.scan(spark, snapshot_id=s1["snapshot_id"]).count() == 40
+
+    # manifest min/max stats were harvested through the Hadoop reader
+    files = t.plan_files(stats_ranges={"k": (50, 55)})
+    assert files and all(e["min"]["k"] <= 55 and e["max"]["k"] >= 50 for e in files)
+
+    # reload from the URI alone
+    t2 = IceTable.load(tdir)
+    assert t2.scan(spark).count() == 55
+
+
+def test_expire_and_orphans_on_file_uri(spark, tmp_path):
+    tdir = "file:" + str(tmp_path / "t")
+    t = IceTable.create(tdir, partition_col="part", stat_cols=[])
+    t.append(_df(spark, 0, 40))
+    t.overwrite_partitions(_df(spark, 0, 40, factor=3).filter("part = 0"))
+    n_before = len(list(t.io.list_files(t.data_dir)))
+    res = t.expire_snapshots(keep_last=1)
+    assert res["summary"]["orphan_files_removed"] > 0
+    assert len(list(t.io.list_files(t.data_dir))) < n_before
+    assert t.scan(spark).count() == 40
+    with pytest.raises(ValueError):
+        t.scan(spark, snapshot_id=1)
+
+
+def test_cas_contention_on_file_uri(spark, tmp_path):
+    """Two writers race the same version through FileContext.rename
+    (NONE): exactly one wins, the loser retries against the new head —
+    both appends land."""
+    import threading
+
+    tdir = "file:" + str(tmp_path / "t")
+    t = IceTable.create(tdir, partition_col="part", stat_cols=[])
+    dfs = [_df(spark, 0, 40), _df(spark, 40, 100)]
+    errs: list = []
+
+    def go(df):
+        try:
+            IceTable.load(tdir).append(df)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=go, args=(d,)) for d in dfs]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+    assert t.scan(spark).count() == 100
+    assert len(t.snapshots()) == 2
+
+
+def test_string_partition_escaping_on_file_uri(spark, tmp_path):
+    """Hive %XX escaping round-trips through the Hadoop staging path."""
+    tdir = "file:" + str(tmp_path / "t")
+    t = IceTable.create(tdir, partition_col="host", stat_cols=[])
+    df = spark.createDataFrame(
+        [(1, "a b/c:d"), (2, "plain.example")], "k int, host string"
+    ).repartition(2, "host")
+    t.append(df)
+    assert {e["partition"] for e in t.plan_files()} == {"a b/c:d", "plain.example"}
+    got = t.scan(spark, partition_values={"a b/c:d"})
+    assert [r.k for r in got.collect()] == [1]
