@@ -122,10 +122,101 @@ FROM parsed
 """
 
 
+# ---------------------------------------------------------------------------
+# the closed crawl loop (r7): crawled pages -> KERNEL link extraction ->
+# resolve + canonicalize -> candidate frontier -> dedup against the
+# already-crawled url set -> polite per-host fetch slots. This is the
+# full acquisition cycle of a web-scale corpus pipeline running on the
+# engine's own extraction output — no synthesized link column anywhere.
+# Scale shape: link rollup is a map-side-combinable groupBy on the
+# canonical target url; the crawled-set dedup is one anti-join keyed on
+# url (both sides partition on the join key); scheduling is a per-host
+# window (host cardinality = parallelism axis, same as the frontier
+# above). The oracle rebuilds every step from the page construction.
+# ---------------------------------------------------------------------------
+
+
+def q_web_crawl_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extraction import extracted_link_edges
+    from ..pipeline.extract import run_extraction
+    from ..sources.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    extracted = run_extraction(pages, num_partitions=16)
+    # candidate targets: kernel-extracted, resolved, canonicalized,
+    # self-host links already filtered
+    cand = (
+        extracted_link_edges(extracted)
+        .groupBy(
+            F.col("canonical").alias("target_url"), F.col("dst_host").alias("host")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_links"))
+    )
+    crawled = pages.select(F.col("url").alias("target_url"))
+    frontier = cand.join(crawled, "target_url", "left_anti")
+    # politeness: same robots-derived per-host delay as the frontier query
+    src_name = F.regexp_replace("host", r"\.example$", "")
+    delay = (
+        shingle_hash32(F.concat(F.lit("robots|"), src_name)) % 5 + 1
+    ).cast("bigint")
+    w = Window.partitionBy("host").orderBy(
+        shingle_hash32(F.concat(F.lit("order|"), F.col("target_url"))),
+        "target_url",
+    )
+    return frontier.select(
+        "target_url",
+        "host",
+        "n_links",
+        delay.alias("crawl_delay_s"),
+        ((F.row_number().over(w).cast("bigint") - 1) * delay).alias("fetch_slot_s"),
+    )
+
+
+def _sql_crawl_loop() -> str:
+    from .extraction import _SQL_LINK_T
+
+    delay = (
+        SQL_SHINGLE_HASH32.format(s="'robots|' || replace(host, '.example', '')")
+        + " % 5 + 1"
+    )
+    order_h = SQL_SHINGLE_HASH32.format(s="'order|' || target_url")
+    return f"""
+WITH t AS (
+  {_SQL_LINK_T.format(h=1, p=1000)}
+  UNION ALL
+  {_SQL_LINK_T.format(h=2, p=2000)}
+  UNION ALL
+  {_SQL_LINK_T.format(h=1, p=1000)}
+), cand AS (
+  SELECT canonical AS target_url, dst_host AS host,
+         CAST(count(*) AS BIGINT) AS n_links
+  FROM t WHERE src_host != dst_host
+  GROUP BY 1, 2
+), frontier AS (
+  SELECT * FROM cand
+  WHERE target_url NOT IN (
+    SELECT 'https://' || source || '.example/doc/' || doc_id FROM documents
+  )
+)
+SELECT target_url, host, n_links,
+       CAST({delay} AS BIGINT) AS crawl_delay_s,
+       (CAST(row_number() OVER (
+            PARTITION BY host ORDER BY {order_h}, target_url) AS BIGINT) - 1)
+           * CAST({delay} AS BIGINT) AS fetch_slot_s
+FROM frontier
+"""
+
+
+def _oracles() -> dict:
+    return {
+        "web_robots_frontier": SQL_WEB_ROBOTS_FRONTIER,
+        "web_crawl_loop": _sql_crawl_loop(),
+    }
+
+
 QUERIES = {
     "web_robots_frontier": q_web_robots_frontier,
+    "web_crawl_loop": q_web_crawl_loop,
 }
 
-ORACLES = {
-    "web_robots_frontier": SQL_WEB_ROBOTS_FRONTIER,
-}
+ORACLES = _oracles()
