@@ -47,6 +47,25 @@ from .icetable import IceTable
 META_COL = "_commit_snapshot_id"
 
 
+def _local_path(path: str) -> str:
+    """The Python Data Source moves bytes with pyarrow + os in plain
+    Python workers (no JVM FS client there), so table paths must be
+    host-local: plain paths pass through, ``file:`` URIs are stripped
+    to their POSIX form, other schemes get a clear error pointing at
+    the JVM read path (``IceTable.scan``), which supports any Hadoop
+    FileSystem."""
+    import re
+
+    if re.match(r"^file:/", path):
+        return re.sub(r"^file:/+", "/", path)
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:/", path):
+        raise NotImplementedError(
+            f"icetable python data source needs a local/file: path, got {path!r}; "
+            "use IceTable.scan (JVM parquet reader) for hdfs:/s3a: tables"
+        )
+    return path
+
+
 def register_icetable(spark) -> None:
     """Register the data source AND enable Python filter pushdown: Spark
     hard-fails any reader that implements ``pushFilters`` while
@@ -68,7 +87,9 @@ class IceFilePartition(InputPartition):
 
 
 def _table_schema(table_dir: str) -> StructType:
-    meta = IceTable.load(table_dir).metadata()
+    # the data source's python processes have no JVM gateway: always
+    # address the table by its local path form
+    meta = IceTable.load(_local_path(table_dir)).metadata()
     if meta.get("schema") is None:
         raise ValueError(
             f"icetable at {table_dir} has no committed schema (empty table?)"
@@ -101,7 +122,7 @@ def _read_file_batches(part: IceFilePartition, schema: StructType):
     from pyspark.sql.pandas.types import to_arrow_schema
 
     target = to_arrow_schema(schema)
-    tbl = pq.read_table(part.path)
+    tbl = pq.read_table(_local_path(part.path))
     n = tbl.num_rows
     cols = []
     for i, field in enumerate(schema.fields):
@@ -159,7 +180,7 @@ class IcetableBatchReader(DataSourceReader):
 
     def __init__(self, schema: StructType, options):
         self._schema = schema
-        self._table_dir = options["path"]
+        self._table_dir = _local_path(options["path"])
         meta = IceTable.load(self._table_dir).metadata()
         self._pcol = meta["partition_col"]
         self._stat_cols = set(meta["stat_cols"] or [])
@@ -243,7 +264,7 @@ class IcetableBatchReader(DataSourceReader):
 class IcetableStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options):
         self._schema = schema
-        self._table_dir = options["path"]
+        self._table_dir = _local_path(options["path"])
         self._start = int(options.get("startingsnapshotid", 0))
         self._skip_non_append = str(
             options.get("skipnonappend", "false")
@@ -337,7 +358,7 @@ class IcetableStreamWriter(DataSourceStreamWriter):
 
     def __init__(self, schema: StructType, options):
         self._schema = schema
-        self._table_dir = options["path"]
+        self._table_dir = _local_path(options["path"])
         # idempotency-key base, strongest first: an explicit runId, else
         # the checkpoint location (stable across restarts of ONE query,
         # distinct across fresh-checkpoint queries — exactly the replay

@@ -126,3 +126,31 @@ def test_string_partition_escaping_on_file_uri(spark, tmp_path):
     assert {e["partition"] for e in t.plan_files()} == {"a b/c:d", "plain.example"}
     got = t.scan(spark, partition_values={"a b/c:d"})
     assert [r.k for r in got.collect()] == [1]
+
+
+def test_python_data_source_on_file_uri(spark, tmp_path):
+    """The python data source (pyarrow executor reads) normalizes
+    ``file:`` URIs to POSIX paths; other schemes raise the documented
+    NotImplementedError instead of a pyarrow parse failure."""
+    import pytest as _pytest
+
+    from ocr_endpoint_project_spark.sources.icetable_source import (
+        _local_path,
+        register_icetable,
+    )
+
+    assert _local_path("/plain") == "/plain"
+    assert _local_path("file:/tmp/t") == "/tmp/t"
+    assert _local_path("file:///tmp/t") == "/tmp/t"
+    with _pytest.raises(NotImplementedError):
+        _local_path("hdfs://nn/x")
+
+    register_icetable(spark)
+    tdir = "file:" + str(tmp_path / "t")
+    t = IceTable.create(tdir, partition_col="part", stat_cols=["k"])
+    t.append(_df(spark, 0, 40))
+    got = spark.read.format("icetable").option("path", tdir).load()
+    assert got.count() == 40
+    assert {r.k for r in got.filter("part = 2").collect()} == {
+        k for k in range(40) if k % 4 == 2
+    }
