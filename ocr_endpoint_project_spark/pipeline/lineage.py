@@ -316,8 +316,11 @@ def run_with_lineage_ice(
                 F.concat_ws("", F.sort_array(F.collect_list("checksum")))
             ).alias("checksum"),
         ).collect()[0]
-        lineage_summary = {k: (int(row[k]) if k != "checksum" else row[k])
-                           for k in lineage_summary}
+        lineage_summary = {
+            # a staged-but-empty file set aggregates to NULLs
+            k: (int(row[k] or 0) if k != "checksum" else row[k])
+            for k in lineage_summary
+        }
     snap = table.commit_overwrite(
         entries,
         extra_summary={

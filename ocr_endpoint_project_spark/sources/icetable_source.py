@@ -56,6 +56,11 @@ def _local_path(path: str) -> str:
     FileSystem."""
     import re
 
+    if re.match(r"^file://[^/]", path):
+        # a non-empty authority (file://host/...) is not a local path
+        raise NotImplementedError(
+            f"file URI with a host component is not local: {path!r}"
+        )
     if re.match(r"^file:/", path):
         return re.sub(r"^file:/+", "/", path)
     if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:/", path):

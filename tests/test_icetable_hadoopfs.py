@@ -154,3 +154,29 @@ def test_python_data_source_on_file_uri(spark, tmp_path):
     assert {r.k for r in got.filter("part = 2").collect()} == {
         k for k in range(40) if k % 4 == 2
     }
+
+
+def test_extract_sink_with_lineage_on_file_uri(spark, tmp_path):
+    """Integration of the round's two pieces: the extraction sink's
+    atomic lineage-in-snapshot-summary commit, on a table whose storage
+    IO goes through the Hadoop FS client."""
+    from ocr_endpoint_project_spark.pipeline.lineage import (
+        ice_done_partitions,
+        run_with_lineage_ice,
+    )
+    from ocr_endpoint_project_spark.sources.pages import corpus_pages
+
+    pages = corpus_pages(spark, n=30, seed=5).cache()
+    out = "file:" + str(tmp_path / "job")
+    r1 = run_with_lineage_ice(spark, pages, out, run_id="rA", num_partitions=4)
+    table = IceTable.load(r1["table_dir"])
+    assert isinstance(table.io, _HadoopIO)
+    assert table.scan(spark).count() == 30
+    s = table.snapshots()[-1]["summary"]
+    assert s["run_id"] == "rA" and s["lineage"]["doc_count"] == 30
+    # resume from the snapshot log over the Hadoop backend
+    r2 = run_with_lineage_ice(spark, pages, out, run_id="rB", num_partitions=4)
+    assert r2["resumed_partitions_skipped"] == 4
+    assert table.scan(spark).count() == 30
+    assert ice_done_partitions(spark, table).count() == 4
+    pages.unpersist()
