@@ -472,7 +472,7 @@ class IceTable:
             writer = writer.partitionBy(pcol)
         writer.parquet(scratch)
 
-        entries: list[dict] = []
+        moves: list[tuple[str, str, str | None]] = []  # (src, dst, part)
         made_dirs: set[str] = set()
         counter = 0
         for src in sorted(self.io.list_files(scratch)):
@@ -501,15 +501,32 @@ class IceTable:
                 dst_dir, f"snap{seq}-{token}-part-{counter:05d}.parquet"
             )
             counter += 1
+            moves.append((src, dst, part_val))
+
+        def _move_and_stat(rec: tuple[str, str, str | None]) -> dict:
+            src, dst, part_val = rec
             self.io.rename(src, dst)
             st = _file_stats(dst, meta["stat_cols"], io=self.io)
-            entries.append(
-                {
-                    "path": os.path.relpath(dst, self.table_dir),
-                    "partition": part_val,
-                    **st,
-                }
-            )
+            return {
+                "path": os.path.relpath(dst, self.table_dir),
+                "partition": part_val,
+                **st,
+            }
+
+        # the move + footer-stats pass is per-file driver work (a py4j
+        # round-trip chain on Hadoop backends, small pyarrow opens
+        # locally): run it on a thread pool so a 4096-file commit costs
+        # ~max(file) latency, not the sum. Hadoop FileSystem and the
+        # py4j gateway are thread-safe; at 10^12 docs the same stats
+        # would come from task commit messages instead (module
+        # docstring), with an identical manifest format.
+        if len(moves) > 4:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(16, len(moves))) as ex:
+                entries = list(ex.map(_move_and_stat, moves))
+        else:
+            entries = [_move_and_stat(m) for m in moves]
         self.io.delete_recursive(scratch)
         entries.sort(key=lambda e: e["path"])
         return entries
