@@ -43,6 +43,7 @@ _MODULES = (
 _DRIVER_FIRST = (
     "web_link_graph",            # new r7 (kernel-extracted link graph)
     "web_crawl_loop",            # new r7 (closed crawl cycle: extract->frontier)
+    "train_quality_probe",       # new r7 (in-engine integer-GD classifier training)
     "ice_schema_evolution",      # new r7 (metadata-driven evolution)
     "web_host_pagerank",         # rewired r7 onto kernel-extracted edges
     "extract_error_taxonomy",    # r7: +JPEG_PROGRESSIVE_UNSUPPORTED row

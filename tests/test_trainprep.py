@@ -160,3 +160,25 @@ def test_pack_and_curriculum_shard_count_is_a_parameter(spark):
             counts[r.phase] += 1
         sizes = [c for c in counts[1:] if c]
         assert max(sizes) - min(sizes) <= 1  # ntile balance
+
+
+def test_quality_probe_learns_the_seed_rule(spark):
+    """The in-engine GD probe must actually LEARN: accuracy on the
+    length-derived seed label beats the majority baseline by a wide
+    margin after QP_ITERS unrolled steps, weights are nonnegative for a
+    monotone rule, and the trajectory is deterministic across runs."""
+    rows = tp.q_train_quality_probe(spark, SF).collect()
+    n = len(rows)
+    pos = sum(1 for r in rows if r.y)
+    baseline = max(pos, n - pos) / n
+    acc = sum(1 for r in rows if r.predicted == r.y) / n
+    assert acc >= baseline + 0.15, (acc, baseline)
+    assert acc >= 0.85
+    # deterministic: a second full training run lands on identical rows
+    again = {r.doc_id: (r.score_ppm, r.predicted) for r in
+             tp.q_train_quality_probe(spark, SF).collect()}
+    assert all(again[r.doc_id] == (r.score_ppm, r.predicted) for r in rows)
+    # monotone rule -> learned weights are nonnegative
+    feat = tp._qp_features(tp._docs(spark, SF)).localCheckpoint()
+    w = tp.train_quality_probe(feat)
+    assert len(w) == tp.QP_K and all(v >= 0 for v in w)
