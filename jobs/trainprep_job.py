@@ -42,6 +42,13 @@ def main() -> None:
     ap.add_argument("--input", required=True, help="documents parquet (doc_id, text, lang, source)")
     ap.add_argument("--output", required=True, help="output root")
     ap.add_argument("--partitions", type=int, default=32)
+    ap.add_argument(
+        "--trained-probe",
+        action="store_true",
+        help="quality-filter with the in-engine TRAINED probe "
+        "(operators/trainprep.train_quality_probe) instead of the "
+        "fixed hashed-linear scorer",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -78,13 +85,29 @@ def main() -> None:
     )
     n_near = docs.count()
 
-    # 3. quality filter: hashed-linear logit > 0
-    logit = F.aggregate(
-        F.transform(norm_tokens("text"), lambda t: shingle_hash32(t) % 2001 - 1000),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    docs = docs.withColumn("_logit", logit).filter(F.col("_logit") > 0).drop("_logit")
+    # 3. quality filter: hashed-linear logit > 0, or (--trained-probe,
+    # r7) a probe TRAINED in-engine on the corpus's seed labels —
+    # operators/trainprep.train_quality_probe (integer-exact GD, the
+    # DCLM-style classifier step)
+    if getattr(args, "trained_probe", False):
+        from ocr_endpoint_project_spark.operators.trainprep import (
+            QP_S,
+            _qp_features,
+            _qp_score_expr,
+            train_quality_probe,
+        )
+
+        feat = _qp_features(docs).localCheckpoint()
+        w = train_quality_probe(feat)
+        keep = feat.filter(F.expr(_qp_score_expr(w)) > QP_S // 2).select("doc_id")
+        docs = docs.join(keep, "doc_id", "left_semi")
+    else:
+        logit = F.aggregate(
+            F.transform(norm_tokens("text"), lambda t: shingle_hash32(t) % 2001 - 1000),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        docs = docs.withColumn("_logit", logit).filter(F.col("_logit") > 0).drop("_logit")
     n_quality = docs.count()
 
     # 4. split; persist the assignment for audit, keep train for packing

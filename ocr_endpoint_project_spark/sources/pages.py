@@ -92,10 +92,22 @@ def cached_corpus_pages(
     )
     if not os.path.isdir(path):
         # 64 files so the scan+explode stage parallelizes at any core count
-        # (8 files capped the stage at 8 tasks -> Amdahl at local[32])
+        # (8 files capped the stage at 8 tasks -> Amdahl at local[32]).
+        # Build into a private dir and publish with an atomic rename: two
+        # racing bench processes used to interleave writes into one cache
+        # dir (mode=overwrite is not mutual exclusion), which polluted
+        # the v5 cache with 1,406 duplicated rows — see BENCH/BASELINE.md
+        # round-7 corpus accounting note.
+        import shutil
+
+        tmp = f"{path}.build-{os.getpid()}"
         corpus_pages(spark, n=n, seed=seed, richness=richness).repartition(64).write.mode(
             "overwrite"
-        ).parquet(path)
+        ).parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race: reuse theirs
     pages = spark.read.parquet(path)
     if replicas <= 1:
         return pages

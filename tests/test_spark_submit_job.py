@@ -267,3 +267,27 @@ def test_spark_submit_compact_job_ice_mode(spark, tmp_path):
     # range-split slices are live: a top-range scan plans one file
     assert len(t.plan_files(stats_ranges={"k": (90, 99)})) == 1
     assert {r.k for r in t.scan(spark).collect()} == set(range(100))
+
+
+def test_spark_submit_trainprep_job_trained_probe(spark, tmp_path):
+    """--trained-probe: the quality stage trains the integer-GD probe
+    in-engine and filters on its score instead of the fixed scorer."""
+    out_dir = str(tmp_path / "out")
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable)
+    cmd = [
+        "spark-submit",
+        "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        os.path.join(REPO, "jobs", "trainprep_job.py"),
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out_dir,
+        "--partitions", "8",
+        "--trained-probe",
+    ]
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=420, env=env, cwd=REPO)
+    assert res.returncode == 0, res.stderr[-2000:]
+    stats = json.loads([l for l in res.stdout.splitlines() if l.startswith("{")][-1])
+    assert stats["docs_in"] == 500
+    assert 0 < stats["after_quality_filter"] <= stats["after_near_dedup"]
+    assert sum(stats["split_counts"].values()) == stats["after_quality_filter"]
