@@ -180,3 +180,27 @@ def test_extract_sink_with_lineage_on_file_uri(spark, tmp_path):
     assert table.scan(spark).count() == 30
     assert ice_done_partitions(spark, table).count() == 4
     pages.unpersist()
+
+
+def test_compact_on_file_uri(spark, tmp_path):
+    """Sort-order range-split compaction through the Hadoop backend —
+    the maintenance path a real hdfs:/s3a: deployment runs."""
+    tdir = "file:" + str(tmp_path / "t")
+    t = IceTable.create(tdir, partition_col="part", stat_cols=["k"])
+    for lo in (0, 1):
+        t.append(
+            spark.range(0, 50)
+            .select(
+                (F.col("id") * 2 + lo).alias("k"),
+                F.col("id").alias("v"),
+                F.lit(0).cast("int").alias("part"),
+            )
+            .repartition(1)
+        )
+    assert len(t.plan_files()) == 2
+    snap = t.compact(spark, sort_by=["k"], files_per_partition=4)
+    assert snap is not None and snap["summary"]["compaction"] is True
+    assert len(t.plan_files()) == 4
+    # range-split slices carry disjoint footer stats through _HadoopIO
+    assert len(t.plan_files(stats_ranges={"k": (90, 99)})) == 1
+    assert t.scan(spark).count() == 100
