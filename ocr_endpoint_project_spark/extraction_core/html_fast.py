@@ -122,20 +122,23 @@ def extract_html_blocks_fast(
         if m is None:
             data(html[pos:])
             break
-        if m.start() > pos:
-            data(html[pos : m.start()])
-        pos = m.end()
+        start = m.start()
+        if start > pos:
+            data(html[pos:start])
+        end = m.end()
+        pos = end
         name = m.group(1)
         if name is None:  # comment / doctype / PI / bogus end tag
             continue
-        tag_src = m.group(0)
+        # index probes instead of materializing m.group(0) per tag — the
+        # matched source is only needed for <a href> extraction
         name = name.lower()
-        closing = tag_src[1] == "/"
-        self_closing = tag_src.endswith("/>") and not closing
+        closing = html[start + 1] == "/"
+        self_closing = not closing and html[end - 2] == "/"
         if links is not None and not closing and name == "a":
             # collected regardless of drop_depth: boilerplate anchors are
             # stripped from TEXT but feed the crawl/link graph
-            href = _href_of(tag_src)
+            href = _href_of(html[start:end])
             if href:
                 links.append(href)
 
@@ -151,7 +154,11 @@ def extract_html_blocks_fast(
             elif name == "a":
                 a_depth = max(0, a_depth - 1)
             elif name in BLOCK_TAGS or name in CONTAINER_TAGS:
-                flush()
+                # empty-buffer flush only resets block_tag — skip the call
+                if fragments:
+                    flush()
+                else:
+                    block_tag = ""
             continue
         # start tag
         if name in DROP_SUBTREE_TAGS:
@@ -169,9 +176,13 @@ def extract_html_blocks_fast(
         elif name == "br":
             fragments.append(" ")
         elif name in BLOCK_TAGS:
-            flush()
+            if fragments:
+                flush()
             block_tag = name
         elif name in CONTAINER_TAGS:
-            flush()
+            if fragments:
+                flush()
+            else:
+                block_tag = ""
     flush()
     return blocks

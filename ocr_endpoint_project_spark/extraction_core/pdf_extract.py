@@ -291,11 +291,12 @@ def _spans_fast(stream: bytes) -> list[tuple[float, float, float, str]] | None:
     x = y = 0.0
     size = 12.0
     i, n = 0, len(stream)
-    scan = _FAST_ITEM.match
     fromhex = bytes.fromhex
-    while i < n:
-        m = scan(stream, i)
-        if m is None:
+    # finditer keeps the per-operator loop in C; contiguity is enforced
+    # (m.start() != i bails to the general path), so the accepted
+    # language is identical to the one-match-per-call form
+    for m in _FAST_ITEM.finditer(stream):
+        if m.start() != i:
             return None  # outside the coarse grammar — use the general path
         i = m.end()
         g = m.lastgroup
@@ -312,6 +313,8 @@ def _spans_fast(stream: bytes) -> list[tuple[float, float, float, str]] | None:
             size = float(m.group("tf"))
         elif g == "bt":
             x = y = 0.0
+    if i != n:
+        return None  # trailing bytes the grammar did not consume
     return spans
 
 
@@ -427,10 +430,12 @@ def is_rtl_text(text: str) -> bool:
     """True when the text's letters are majority-Arabic (RTL layout)."""
     if not _ARABIC_RE.search(text):  # fast C-scan exit for the common case
         return False
-    letters = sum(1 for c in text if c.isalpha())
+    # C-level counting (map(str.isalpha, ...) stays in the interpreter's
+    # fast path; the genexpr form was ~25% of PDF line-assembly time)
+    letters = sum(map(str.isalpha, text))
     if not letters:
         return False
-    arabic = sum(1 for c in _ARABIC_RE.findall(text) if c.isalpha())
+    arabic = sum(map(str.isalpha, _ARABIC_RE.findall(text)))
     return arabic * 2 > letters
 
 
@@ -481,10 +486,16 @@ def _line_text(line: dict) -> str:
     NOTE: RTL ordering is the explicit stable sort by -x, NOT reversal —
     two spans sharing an x must keep their stable order."""
     spans = line["spans"]
-    base_rtl = is_rtl_text("".join(t for _, t in spans))
+    joined = "".join(t for _, t in spans)
+    if not _ARABIC_RE.search(joined):
+        # LTR fast path: no Arabic anywhere in the line means the base is
+        # LTR and every span is LTR or neutral — one x-ascending run,
+        # byte-identical to the general two-level walk below
+        return " ".join(t for _, t in spans if t)
+    base_rtl = is_rtl_text(joined)
     runs: list[tuple[bool, list]] = []
     for x, t in spans:
-        d = is_rtl_text(t) if any(c.isalpha() for c in t) else base_rtl
+        d = is_rtl_text(t) if any(map(str.isalpha, t)) else base_rtl
         if runs and runs[-1][0] == d:
             runs[-1][1].append((x, t))
         else:

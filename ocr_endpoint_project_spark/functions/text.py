@@ -7,8 +7,29 @@ strings live next to the operators that use them in ``operators/``.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def hoist(df: DataFrame, keep: list[str] | tuple[str, ...], **exprs: Column) -> DataFrame:
+    """Materialize computed columns as REAL attributes through a Generate
+    barrier (explode of a one-element struct array).
+
+    Why: Catalyst's CollapseProject inlines a plain projection alias into
+    every consumer — including the BODY of higher-order-function lambdas,
+    where the inlined expression is re-evaluated once per ARRAY ELEMENT.
+    ``transform(sequence(0, size(toks)-3), i -> slice(toks, i+1, 3))``
+    with ``toks`` a projected tokenize expression re-tokenizes the
+    document once per shingle: measured 4.15 s vs 0.46 s single-core for
+    the corpus shingle pass (round-8 OPTIMIZATION_r08.md). A Generate
+    node is a collapse boundary, so after the explode the columns are
+    attributes evaluated exactly once per row. The one-element explode
+    itself is O(rows) and null-safe (``array(e)`` is ``[NULL]`` when the
+    expression is null, so no rows are dropped).
+    """
+    packed = F.explode(F.array(F.struct(*[e.alias(n) for n, e in exprs.items()])))
+    tmp = df.select(*keep, packed.alias("_hoisted"))
+    return tmp.select(*keep, *[F.col(f"_hoisted.{n}").alias(n) for n in exprs])
 
 
 def norm_tokens(col: Column | str) -> Column:

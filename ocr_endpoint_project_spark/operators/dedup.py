@@ -22,6 +22,7 @@ from ._io import read_spread
 from ..functions.text import (
     SQL_NORM_TOKENS,
     SQL_SHINGLE_HASH32,
+    hoist,
     norm_tokens,
     r4,
     shingle_hash32,
@@ -47,6 +48,15 @@ SHINGLE_DF_CAP = int(os.environ.get("SPARK_GRAFT_SHINGLE_DF_CAP", "512"))
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_spread(spark, f"{sf_dir}/documents.parquet")
+
+
+def _doc_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, t) with the normalized token array HOISTED to a real
+    attribute: every shingle/window lambda downstream slices ``t`` per
+    element, and without the barrier CollapseProject inlines the
+    tokenize expression into the lambda body — re-tokenizing the
+    document once per shingle (~28x measured on the sf0.1 corpus)."""
+    return hoist(docs, ("doc_id",), t=norm_tokens("text"))
 
 
 def _pin(df: DataFrame, name: str) -> DataFrame:
@@ -182,8 +192,8 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     bounds the candidate space, so no cap is needed at verify time.
     """
     raw = _pin(
-        _docs(spark, sf_dir)
-        .select("doc_id", F.explode(_shingles(norm_tokens("text"))).alias("s")),
+        _doc_tokens(_docs(spark, sf_dir))
+        .select("doc_id", F.explode(_shingles(F.col("t"))).alias("s")),
         "ngram_shingles",
     )
     # pinned: the capped stream feeds the df sizes AND both self-join
@@ -249,13 +259,13 @@ def q_minhash_signature(spark, sf_dir):
     in anyway — same capped stream the LSH path signs, so signatures
     agree across operators."""
     hashed = _pin(
-        _docs(spark, sf_dir)
+        _doc_tokens(_docs(spark, sf_dir))
         .select(
             "doc_id",
             F.explode(
                 F.array_distinct(
                     F.transform(
-                        _shingles(norm_tokens("text")), lambda s: shingle_hash32(s)
+                        _shingles(F.col("t")), lambda s: shingle_hash32(s)
                     )
                 )
             ).alias("h"),
@@ -312,11 +322,11 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     there the cap must also bound the pair generation itself.
     """
     hs = _pin(
-        docs.select(
+        _doc_tokens(docs).select(
             "doc_id",
             F.array_distinct(
                 F.transform(
-                    _shingles(norm_tokens("text")), lambda s: shingle_hash32(s)
+                    _shingles(F.col("t")), lambda s: shingle_hash32(s)
                 )
             ).alias("hs"),
         ),
@@ -433,9 +443,13 @@ SIMHASH_BITS = 28
 
 
 def q_simhash(spark, sf_dir):
-    docs = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.transform(norm_tokens("text"), lambda t: shingle_hash32(t)).alias("hs"),
+    # hs is HOISTED (Generate barrier): the 28-bit loop below references
+    # it ~56 times per row (filter + size per bit) and CollapseProject
+    # would otherwise inline the tokenize+hash transform into every one
+    docs = hoist(
+        _docs(spark, sf_dir),
+        ("doc_id",),
+        hs=F.transform(norm_tokens("text"), lambda t: shingle_hash32(t)),
     )
     # shiftright/shiftleft need expression-form SQL to take a lambda var
     # as the shift amount, so the bit loop is one expr string
@@ -567,10 +581,10 @@ EVAL_MODULUS = 50  # doc_id % 50 == 0 -> member of the synthetic eval set
 
 def q_decontaminate(spark, sf_dir):
     docs = _docs(spark, sf_dir)
-    grams = docs.select(
+    grams = _doc_tokens(docs).select(
         "doc_id",
         F.explode(
-            F.array_distinct(word_ngrams(norm_tokens("text"), CONTAM_NGRAM))
+            F.array_distinct(word_ngrams(F.col("t"), CONTAM_NGRAM))
         ).alias("g"),
     )
     gr = grams.alias("gr")
@@ -644,8 +658,13 @@ _PARA_POS_BASE = 1_000_000
 
 
 def q_dedup_paragraphs(spark, sf_dir):
-    toks = F.split(F.col("text"), " ")
-    n_chunks = F.ceil(F.size(toks) / F.lit(float(PARA_TOKENS))).cast("long")
+    def chunks_of(toks):
+        return F.ceil(F.size(toks) / F.lit(float(PARA_TOKENS))).cast("long")
+
+    # token array HOISTED (Generate barrier): the chunk lambda slices it
+    # once per chunk — inlined, split(text) would re-run per element
+    toks = F.col("tk")
+    n_chunks = chunks_of(toks)
     idx = F.when(
         n_chunks > 0, F.sequence(F.lit(0).cast("long"), n_chunks - 1)
     ).otherwise(F.array().cast("array<long>"))
@@ -666,7 +685,7 @@ def q_dedup_paragraphs(spark, sf_dir):
                          F.lit(PARA_FOOTER).alias("para"))),
     )
     paras = (
-        _docs(spark, sf_dir)
+        hoist(_docs(spark, sf_dir), ("doc_id",), tk=F.split(F.col("text"), " "))
         .select("doc_id", F.explode(paras_arr).alias("p"))
         .select("doc_id", F.col("p.pos").alias("pos"), F.col("p.para").alias("para"))
     )
@@ -710,7 +729,8 @@ def q_dedup_paragraphs(spark, sf_dir):
     # computing it map-side instead of re-aggregating the exploded frame
     # deletes a whole-corpus shuffle keyed by doc_id (plan-audited r5)
     totals = _docs(spark, sf_dir).select(
-        "doc_id", (n_chunks + 2).cast("bigint").alias("n_paras")
+        "doc_id",
+        (chunks_of(F.split(F.col("text"), " ")) + 2).cast("bigint").alias("n_paras"),
     )
     return totals.join(rebuilt, "doc_id", "left").select(
         "doc_id",
@@ -788,7 +808,10 @@ def _substring_dups(spark, sf_dir):
     ``dups(doc_id, pos)`` — every occurrence of a repeated window except
     the globally first (min packed (doc_id, pos)).
     """
-    toks = F.split(F.col("text"), " ")
+    # window lambda below slices the token array once per window — tk is
+    # HOISTED (Generate barrier) so split(text) runs once per row, not
+    # once per window element (CollapseProject would inline it)
+    toks = F.col("tk")
     nw = (F.size(toks) - F.lit(SUB_L) + 1).cast("long")
     idx = F.when(nw > 0, F.sequence(F.lit(0).cast("long"), nw - 1)).otherwise(
         F.array().cast("array<long>")
@@ -817,10 +840,11 @@ def _substring_dups(spark, sf_dir):
     # arithmetic, not a re-derivation of the window array); the md5
     # window transform lives in exactly ONE branch, the pinned explode
     docs = _docs(spark, sf_dir).select(
-        "doc_id", F.size(toks).cast("long").alias("n_tokens")
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
     )
     wins = (
-        _docs(spark, sf_dir)
+        hoist(_docs(spark, sf_dir), ("doc_id",), tk=F.split(F.col("text"), " "))
         .select("doc_id", F.explode(wins_arr).alias("w"))
         .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
     )

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ._io import read_spread
-from ..functions.text import r4
+from ..functions.text import hoist, r4
 from .dedup import COSINE_DUP_THRESHOLD, _pin, cosine_pair, vec_norm
 
 TOP_K = 5
@@ -76,11 +76,13 @@ def ivf_assign(emb: DataFrame) -> DataFrame:
     index) carries it: every downstream pair cosine is one dot, not three.
     """
     cent = ivf_centroids(emb)
-    vq = emb.select(
-        "vec_id",
-        "embedding",
-        vec_norm(F.col("embedding")).alias("nrm"),
-        _quant(F.col("embedding")).alias("eq"),
+    # nrm/eq HOISTED (functions/text.hoist): eq feeds the per-cell dist
+    # lambda — inlined, the quantize transform re-runs once per centroid
+    vq = hoist(
+        emb,
+        ("vec_id", "embedding"),
+        nrm=vec_norm(F.col("embedding")),
+        eq=_quant(F.col("embedding")),
     )
     dist = F.aggregate(
         F.zip_with("eq", "centroid_q", lambda x, c: (x * 10 - c) * (x * 10 - c)),
@@ -297,11 +299,13 @@ def ivf_assign_multi(emb: DataFrame, n_probes: int = N_PROBES) -> DataFrame:
     additional probes trades ~n_probes x scan cost for recall lost to
     hard cell boundaries — the standard IVF recall knob."""
     cent = ivf_centroids(emb)
-    vq = emb.select(
-        "vec_id",
-        "embedding",
-        vec_norm(F.col("embedding")).alias("nrm"),
-        _quant(F.col("embedding")).alias("eq"),
+    # nrm/eq HOISTED (functions/text.hoist): eq feeds the per-cell dist
+    # lambda — inlined, the quantize transform re-runs once per centroid
+    vq = hoist(
+        emb,
+        ("vec_id", "embedding"),
+        nrm=vec_norm(F.col("embedding")),
+        eq=_quant(F.col("embedding")),
     )
     dist = F.aggregate(
         F.zip_with("eq", "centroid_q", lambda x, c: (x * 10 - c) * (x * 10 - c)),
@@ -430,7 +434,7 @@ def kmeans_assign(emb: DataFrame, rounds: int = KMEANS_ROUNDS) -> DataFrame:
     one broadcast nested-loop (assignment, no shuffle of the big side) +
     one keyed aggregation (centroid update) — the canonical distributed
     k-means shape."""
-    vq = emb.select("vec_id", "embedding", _quant(F.col("embedding")).alias("eq"))
+    vq = hoist(emb, ("vec_id", "embedding"), eq=_quant(F.col("embedding")))
     cent = ivf_centroids(emb)
     assigned = None
     for _ in range(rounds):
@@ -498,7 +502,7 @@ def kmeans_assign_k(emb: DataFrame, k: int, rounds: int = KMEANS_ROUNDS) -> Data
     that lose all members simply drop out of the next round's centroid
     table (mirrored in the oracle's CTE replay).
     """
-    vq = emb.select("vec_id", "embedding", _quant(F.col("embedding")).alias("eq"))
+    vq = hoist(emb, ("vec_id", "embedding"), eq=_quant(F.col("embedding")))
     cent = kmeans_seed_centroids(vq, k)
     for _ in range(rounds):
         cent = _centroids_of(_assign_to(vq, cent))
@@ -668,9 +672,13 @@ def q_embedding_srp_pairs(spark, sf_dir):
     # quantize ONCE into a column, sign it, and store the vector norm in
     # the pinned signature table: the pair join downstream pays a single
     # dot per candidate
-    eq = emb.select(
-        "vec_id", "embedding", vec_norm(F.col("embedding")).alias("nrm"),
-        _quant(F.col("embedding")).alias("eq"),
+    # eq HOISTED: srp_signature's 24 plane dots each reference eq inside
+    # a lambda — inlined, the quantize transform re-runs once per plane
+    eq = hoist(
+        emb,
+        ("vec_id", "embedding"),
+        nrm=vec_norm(F.col("embedding")),
+        eq=_quant(F.col("embedding")),
     )
     sig = _pin(
         eq.select(
@@ -779,9 +787,13 @@ def srp_topk(spark, sf_dir) -> DataFrame:
     The LSH twin of q_ann_ivf_bucketed, reusing the pinned signature
     table."""
     emb = _emb(spark, sf_dir)
-    eq = emb.select(
-        "vec_id", "embedding", vec_norm(F.col("embedding")).alias("nrm"),
-        _quant(F.col("embedding")).alias("eq"),
+    # eq HOISTED: srp_signature's 24 plane dots each reference eq inside
+    # a lambda — inlined, the quantize transform re-runs once per plane
+    eq = hoist(
+        emb,
+        ("vec_id", "embedding"),
+        nrm=vec_norm(F.col("embedding")),
+        eq=_quant(F.col("embedding")),
     )
     sig = _pin(
         eq.select("vec_id", "embedding", "nrm", srp_signature(F.col("eq")).alias("sig")),
@@ -994,9 +1006,13 @@ def _srp_candidates(spark, sf_dir, n_bands: int) -> DataFrame:
     band_bits = SRP_BITS // n_bands
     mask = (1 << band_bits) - 1
     emb = _emb(spark, sf_dir)
-    eq = emb.select(
-        "vec_id", "embedding", vec_norm(F.col("embedding")).alias("nrm"),
-        _quant(F.col("embedding")).alias("eq"),
+    # eq HOISTED: srp_signature's 24 plane dots each reference eq inside
+    # a lambda — inlined, the quantize transform re-runs once per plane
+    eq = hoist(
+        emb,
+        ("vec_id", "embedding"),
+        nrm=vec_norm(F.col("embedding")),
+        eq=_quant(F.col("embedding")),
     )
     sig = _pin(
         eq.select("vec_id", "embedding", "nrm", srp_signature(F.col("eq")).alias("sig")),

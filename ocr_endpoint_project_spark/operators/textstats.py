@@ -14,6 +14,7 @@ from ..functions.text import (
     SQL_NORM_TOKENS,
     SQL_SHINGLE_HASH32,
     cer_expr,
+    hoist,
     norm_tokens,
     r4,
     shingle_hash32,
@@ -45,10 +46,12 @@ def _sql_tokens(col: str = "text") -> str:
 # ---------------------------------------------------------------------------
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = norm_tokens("text")
-    return _docs(spark, sf_dir).select(
+    # toks HOISTED (functions/text.hoist): four consumers per row below —
+    # a plain alias would re-tokenize the text once per consumer
+    toks = F.col("toks")
+    return hoist(_docs(spark, sf_dir), ("doc_id",), toks=norm_tokens("text")).select(
         "doc_id",
-        token_count("text").cast("bigint").alias("n_tokens"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
         r4(
             F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)).cast(
@@ -76,7 +79,9 @@ _QUALITY_STOPS = STOPWORDS["en"]
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = norm_tokens("text")
+    # toks HOISTED: the score expression references the token array five
+    # times per row (length, stop-ratio, avg-len terms)
+    toks = F.col("toks")
     n = F.size(toks).cast("double")
     stop_ratio = stopword_hits(toks, _QUALITY_STOPS).cast("double") / F.greatest(
         F.size(toks), F.lit(1)
@@ -89,9 +94,9 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (1.0 - F.least(F.abs(avg_len - 5.0) / 10.0, F.lit(1.0))) * 0.3
         + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
     )
-    return _docs(spark, sf_dir).select(
-        "doc_id", F.col("lang"), r4(score).alias("quality_score")
-    )
+    return hoist(
+        _docs(spark, sf_dir), ("doc_id", "lang"), toks=norm_tokens("text")
+    ).select("doc_id", F.col("lang"), r4(score).alias("quality_score"))
 
 
 _SQL_STOPS = ", ".join(f"'{s}'" for s in _QUALITY_STOPS)
@@ -111,7 +116,9 @@ FROM (SELECT doc_id, lang, {_sql_tokens()} AS toks FROM documents)
 # ---------------------------------------------------------------------------
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _docs(spark, sf_dir).select("doc_id", "lang", norm_tokens("text").alias("toks"))
+    # toks HOISTED: the 5 per-language vote columns plus the argmax/pred
+    # cascade reference it ~15x per row
+    df = hoist(_docs(spark, sf_dir), ("doc_id", "lang"), toks=norm_tokens("text"))
     for lg in LANGS:
         df = df.withColumn(f"score_{lg}", stopword_hits(F.col("toks"), STOPWORDS[lg]))
     best = F.greatest(*[F.col(f"score_{lg}") for lg in LANGS])
@@ -208,16 +215,17 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ELSE transform(sequence(1, size(hashes) - {WINNOW_W - 1}), "
         f"i -> array_min(slice(hashes, i, {WINNOW_W}))) END"
     )
-    return (
-        _docs(spark, sf_dir)
-        .select("doc_id", txt.alias("norm_txt"))
-        .select("doc_id", F.expr(grams_expr).cast("array<long>").alias("hashes"))
-        .select("doc_id", F.array_distinct(F.expr(mins_expr)).alias("fps"))
-        .select(
-            "doc_id",
-            F.size("fps").cast("bigint").alias("n_fingerprints"),
-            F.md5(F.concat_ws(",", F.sort_array(F.col("fps")))).alias("fp_digest"),
-        )
+    # every stage is HOISTED: the gram lambda substrings norm_txt per
+    # gram, the window lambda slices hashes per window, and the final
+    # projection reads fps twice — inlined, the md5-gram pass would
+    # re-run once per window element (quadratic in document length)
+    df = hoist(_docs(spark, sf_dir), ("doc_id",), norm_txt=txt)
+    df = hoist(df, ("doc_id",), hashes=F.expr(grams_expr).cast("array<long>"))
+    df = hoist(df, ("doc_id",), fps=F.array_distinct(F.expr(mins_expr)))
+    return df.select(
+        "doc_id",
+        F.size("fps").cast("bigint").alias("n_fingerprints"),
+        F.md5(F.concat_ws(",", F.sort_array(F.col("fps")))).alias("fp_digest"),
     )
 
 
@@ -244,9 +252,16 @@ FROM m
 
 
 def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bpe = F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)
-    ws = norm_tokens("text")
-    return _docs(spark, sf_dir).select(
+    # both token arrays HOISTED: bpe is read three times per row and ws
+    # twice — a plain alias re-runs the regex scans per consumer
+    bpe = F.col("bpe")
+    ws = F.col("ws")
+    return hoist(
+        _docs(spark, sf_dir),
+        ("doc_id",),
+        bpe=F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0),
+        ws=norm_tokens("text"),
+    ).select(
         "doc_id",
         F.size(bpe).cast("bigint").alias("n_bpe_tokens"),
         F.size(ws).cast("bigint").alias("n_ws_tokens"),
@@ -331,7 +346,9 @@ REP_DUP_3GRAM_MAX = 0.18   # <= 18% of trigrams may be repeats
 def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import word_ngrams
 
-    docs = _docs(spark, sf_dir).select("doc_id", norm_tokens("text").alias("toks"))
+    # toks HOISTED (the n-gram lambdas slice it per element), then the
+    # gram arrays hoisted too (dup_frac reads each three times per row)
+    docs = hoist(_docs(spark, sf_dir), ("doc_id",), toks=norm_tokens("text"))
     # top-token count via explode -> groupBy: the 100-TB shape (keyed
     # shuffle with map-side partial counts), not an O(n^2) per-doc HOF
     top = (
@@ -348,8 +365,14 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.size(F.array_distinct(grams)).cast("double") / n
         )
 
-    g2 = word_ngrams(F.col("toks"), 2)
-    g3 = word_ngrams(F.col("toks"), 3)
+    docs = hoist(
+        docs,
+        ("doc_id", "toks"),
+        g2=word_ngrams(F.col("toks"), 2),
+        g3=word_ngrams(F.col("toks"), 3),
+    )
+    g2 = F.col("g2")
+    g3 = F.col("g3")
     base = docs.join(top, "doc_id", "left").select(
         "doc_id",
         r4(
@@ -472,13 +495,22 @@ _HLS_HALF = 1000
 
 
 def q_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = norm_tokens("text")
+    # toks HOISTED: referenced by the weight transform and two size()
+    # consumers per row
+    toks = F.col("toks")
     weights = F.transform(
         toks, lambda t: shingle_hash32(t) % _HLS_MOD - _HLS_HALF
     )
-    logit = F.aggregate(weights, F.lit(0).cast("long"), lambda acc, v: acc + v)
-    n = F.size(toks)
-    return _docs(spark, sf_dir).select(
+    base = hoist(_docs(spark, sf_dir), ("doc_id",), toks=norm_tokens("text"))
+    # second hoist: logit (an md5 per token) has three consumers below
+    base = hoist(
+        base,
+        ("doc_id",),
+        n=F.size(toks),
+        logit=F.aggregate(weights, F.lit(0).cast("long"), lambda acc, v: acc + v),
+    )
+    n, logit = F.col("n"), F.col("logit")
+    return base.select(
         "doc_id",
         n.cast("bigint").alias("n_tokens"),
         logit.alias("logit"),
