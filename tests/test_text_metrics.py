@@ -60,6 +60,41 @@ def test_edit_distance_properties(a, b):
     assert (d == 0) == (a == b)
 
 
+# -- Myers bit-parallel vs numpy DP parity (round-8 optimization) -----------
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=200), st.text(max_size=200))
+def test_edit_distance_myers_matches_dp(a, b):
+    from ocr_endpoint_project_spark.extraction_core.text_metrics import (
+        edit_distance_dp,
+    )
+
+    assert edit_distance(a, b) == edit_distance_dp(a, b)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.sampled_from(["foo", "bar", "baz", "قطة", ""]), max_size=80),
+    st.lists(st.sampled_from(["foo", "bar", "baz", "قطة", ""]), max_size=80),
+)
+def test_edit_distance_myers_matches_dp_tokens(ta, tb):
+    from ocr_endpoint_project_spark.extraction_core.text_metrics import (
+        edit_distance_dp,
+    )
+
+    assert edit_distance(ta, tb) == edit_distance_dp(ta, tb)
+
+
+def test_edit_distance_multiword_bitvectors():
+    # > 64 symbols exercises the multi-limb big-int path
+    from ocr_endpoint_project_spark.extraction_core.text_metrics import (
+        edit_distance_dp,
+    )
+
+    a = ("abcdef" * 60)[:350]
+    b = ("abdcef" * 60)[:333]
+    assert edit_distance(a, b) == edit_distance_dp(a, b)
+
+
 # -- cer / wer (ocr_common.py:136-149) ---------------------------------------
 def test_cer_wer():
     assert cer("abc", "abc") == 0.0
