@@ -149,7 +149,7 @@ def _driver_union_find(pair_rows: list[tuple]) -> dict:
     return {x: find(x) for x in parent}
 
 
-def keeper_frame(ids: DataFrame, pairs: DataFrame) -> DataFrame:
+def keeper_frame(ids: DataFrame, pairs: DataFrame, pin_name: str | None = None) -> DataFrame:
     """pairs (doc_a, doc_b) + full id table (doc_id) -> per-id cluster
     assignment with keeper flag and size. Iterates ONLY over pair
     endpoints (duplicates are a small fraction of the corpus at 100 TB);
@@ -165,7 +165,14 @@ def keeper_frame(ids: DataFrame, pairs: DataFrame) -> DataFrame:
     labels, none of the per-round job overhead); past the cap the
     truncated collect is discarded and the distributed label-propagation
     loop runs. Both paths are covered by tests and produce identical
-    frames."""
+    frames.
+
+    ``pin_name`` (round 8): the short-circuit path executes the pair
+    plan exactly ONCE (inside the bounded collect), so pre-pinning the
+    pairs costs a parquet write+read for nothing; callers now pass the
+    UNPINNED plan plus a pin name, and the pin happens only on the
+    distributed branch, where the CC loop re-reads the edges every
+    round."""
     head = pairs.select("doc_a", "doc_b").limit(CC_DRIVER_MAX_PAIRS + 1).collect()
     shortcircuit = len(head) <= CC_DRIVER_MAX_PAIRS
     if LAST_CC_STATS is not None:
@@ -192,6 +199,8 @@ def keeper_frame(ids: DataFrame, pairs: DataFrame) -> DataFrame:
         ).select("doc_id", F.col("lab").alias("cluster_id"))
         endpoints = labs.select("doc_id")
     else:
+        if pin_name is not None:
+            pairs = _pin(pairs.select("doc_a", "doc_b"), pin_name)
         edges = pairs.union(
             pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
         ).toDF("src", "dst")
@@ -217,9 +226,9 @@ def q_cluster_keeper(spark, sf_dir):
     singleton docs keep themselves. The downstream dedup filter is simply
     ``WHERE is_keeper``.
     """
-    pairs = _pin(q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b"), "cc_pairs")
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     docs = read_spread(spark, f"{sf_dir}/documents.parquet").select("doc_id")
-    return keeper_frame(docs, pairs)
+    return keeper_frame(docs, pairs, pin_name="cc_pairs")
 
 
 def q_embedding_cluster_keeper(spark, sf_dir):
@@ -228,16 +237,13 @@ def q_embedding_cluster_keeper(spark, sf_dir):
     modality-agnostic once candidates exist."""
     from .similarity import q_embedding_dup_bucketed
 
-    pairs = _pin(
-        q_embedding_dup_bucketed(spark, sf_dir).select(
-            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
-        ),
-        "emb_cc_pairs",
+    pairs = q_embedding_dup_bucketed(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
     vecs = read_spread(spark, f"{sf_dir}/embeddings.parquet").select(
         F.col("vec_id").alias("doc_id")
     )
-    return keeper_frame(vecs, pairs).select(
+    return keeper_frame(vecs, pairs, pin_name="emb_cc_pairs").select(
         F.col("doc_id").alias("vec_id"), "cluster_id", "is_keeper", "cluster_size"
     )
 
