@@ -30,6 +30,7 @@ from ._io import read_spread
 from ..functions.text import (
     SQL_NORM_TOKENS,
     SQL_SHINGLE_HASH32,
+    hoist,
     norm_tokens,
     r4,
     shingle_hash32,
@@ -622,8 +623,8 @@ def _qp_features(docs: DataFrame) -> DataFrame:
     """(doc_id, y_s, x0..x{K-1}): hashed token-bucket counts + the seed
     label, via explode -> conditional-sum groupBy (one shuffle on
     doc_id; the DuckDB twin uses list HOFs, value-identical)."""
-    toks = norm_tokens("text")
-    ex = docs.select(
+    toks = F.col("toks")
+    ex = hoist(docs, ("doc_id",), toks=norm_tokens("text")).select(
         "doc_id", F.size(toks).alias("n"), F.explode_outer(toks).alias("t")
     ).select(
         "doc_id",

@@ -140,6 +140,10 @@ class _LocalIO:
             for name in files:
                 yield os.path.join(root, name)
 
+    def qualify(self, path: str) -> str:
+        """Canonical absolute form for path-containment comparisons."""
+        return os.path.abspath(path)
+
     def size(self, path: str) -> int:
         return os.path.getsize(path)
 
@@ -242,6 +246,14 @@ class _HadoopIO:
         it = self._fs.listFiles(self._path(path), True)
         while it.hasNext():
             yield it.next().getPath().toString()
+
+    def qualify(self, path: str) -> str:
+        """Fully-qualified URI via the FS (resolves default scheme /
+        authority spellings), for path-containment comparisons —
+        ``listFiles`` yields fully-qualified URIs while the user's
+        ``table_dir`` may be shorthand like ``hdfs:/x``; comparing raw
+        strings silently mismatches (ADVICE round-8 fix)."""
+        return self._fs.makeQualified(self._path(path)).toString()
 
     def size(self, path: str) -> int:
         return int(self._fs.getFileStatus(self._path(path)).getLen())
@@ -1087,9 +1099,22 @@ class IceTable:
             for m in self._manifest_list_for(meta, s["snapshot_id"]):
                 for e in self._rj(os.path.join(self.meta_dir, m["name"])):
                     live.add(e["path"])
+        # containment is checked on FS-qualified forms: _HadoopIO.list_files
+        # yields fully-qualified URIs while table_dir may be a shorthand
+        # spelling (hdfs:/x relying on fs.defaultFS) — a raw relpath on
+        # mismatched forms would see every live file as an orphan and
+        # delete the whole table. A listed path outside the qualified
+        # table dir aborts cleanup instead of guessing.
+        base = self.io.qualify(self.table_dir).rstrip("/")
         removed = 0
         for p in list(self.io.list_files(self.data_dir)):
-            if os.path.relpath(p, self.table_dir) not in live:
+            q = self.io.qualify(p)
+            if not q.startswith(base + "/"):
+                raise RuntimeError(
+                    f"remove_orphan_files: listed path {p!r} is not under "
+                    f"table dir {base!r}; refusing cleanup"
+                )
+            if q[len(base) + 1 :] not in live:
                 self.io.delete(p)
                 removed += 1
         return removed

@@ -88,6 +88,25 @@ def test_expire_and_orphans_on_file_uri(spark, tmp_path):
         t.scan(spark, snapshot_id=1)
 
 
+def test_expire_survives_alternate_uri_spelling(spark, tmp_path):
+    """round-8 ADVICE fix: a table_dir spelling Hadoop normalizes
+    (``file:///x`` vs the ``file:/x`` that listFiles yields) must not
+    make live files look like orphans — before the qualify() fix,
+    relpath over mismatched spellings marked EVERY data file orphaned
+    and expire deleted the whole table."""
+    tdir = "file://" + str(tmp_path / "t")  # authority-empty triple-slash form
+    t = IceTable.create(tdir, partition_col="part", stat_cols=[])
+    t.append(_df(spark, 0, 40))
+    # no orphans exist: cleanup must delete NOTHING under either spelling
+    assert t.remove_orphan_files() == 0
+    assert t.scan(spark).count() == 40
+    # and qualified containment still catches real orphans
+    t.overwrite_partitions(_df(spark, 0, 40, factor=3).filter("part = 0"))
+    res = t.expire_snapshots(keep_last=1)
+    assert res["summary"]["orphan_files_removed"] > 0
+    assert t.scan(spark).count() == 40
+
+
 def test_cas_contention_on_file_uri(spark, tmp_path):
     """Two writers race the same version through FileContext.rename
     (NONE): exactly one wins, the loser retries against the new head —
