@@ -949,40 +949,41 @@ def q_dedup_substring_rebuild(spark, sf_dir):
     duplicated span survives, later copies vanish byte-exactly.
 
     Scale shape: inherits _substring_dups (agg-filtered join on repeated
-    windows only); the rebuild is one posexplode + broadcast-sized
-    left-anti on (doc_id, tp) + one groupBy(doc_id) with an array_sort
-    of (pos, token) structs — all keyed on doc_id, never on the hot
-    window key.
+    windows only). Round 8: the rebuild itself is map-side — the dup
+    positions collapse to one per-doc position SET (a groupBy over dup
+    rows only, boilerplate-sized), joined back on doc_id, and the
+    surviving tokens fall out of one indexed array filter over the
+    hoisted token array. The pre-r8 shape (posexplode the whole corpus,
+    anti-join on (doc_id, tp), re-assemble via collect_list+array_sort)
+    shuffled the full token stream twice for the same answer.
     """
-    docs, dups = _substring_dups(spark, sf_dir)
-    dup_pos = dups.select(
-        "doc_id",
-        F.explode(F.sequence(F.col("pos"), F.col("pos") + SUB_L - 1)).alias("tp"),
-    ).distinct()
-    toks_pos = (
-        _docs(spark, sf_dir)
-        .select("doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("tp", "tok"))
-    )
-    kept = toks_pos.join(dup_pos, ["doc_id", "tp"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept_tokens"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("tp", "tok"))),
-                lambda x: x["tok"],
-            ),
-            " ",
-        ).alias("rebuilt_text"),
-    )
-    return (
-        docs.select("doc_id", "n_tokens")
-        .join(rebuilt, "doc_id", "left")
-        .select(
+    _, dups = _substring_dups(spark, sf_dir)
+    dup_sets = (
+        dups.select(
             "doc_id",
-            "n_tokens",
-            F.coalesce("n_kept_tokens", F.lit(0)).cast("long").alias("n_kept_tokens"),
-            F.coalesce("rebuilt_text", F.lit("")).alias("rebuilt_text"),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + SUB_L - 1)).alias("tp"),
         )
+        .groupBy("doc_id")
+        .agg(F.collect_set("tp").alias("dtp"))
+    )
+    base = hoist(_docs(spark, sf_dir), ("doc_id",), tk=F.split(F.col("text"), " "))
+    j = base.join(dup_sets, "doc_id", "left")
+    kept_expr = F.when(F.col("dtp").isNull(), F.col("tk")).otherwise(
+        F.filter(
+            F.col("tk"),
+            lambda _t, i: ~F.array_contains(F.col("dtp"), i.cast("bigint")),
+        )
+    )
+    # kept feeds two consumers (count + join) — hoist so the filter pass
+    # runs once per row
+    out = hoist(
+        j, ("doc_id",), n_tokens=F.size("tk").cast("long"), kept=kept_expr
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.size("kept").cast("long").alias("n_kept_tokens"),
+        F.array_join(F.col("kept"), " ").alias("rebuilt_text"),
     )
 
 
