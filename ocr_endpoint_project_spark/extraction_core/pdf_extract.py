@@ -442,24 +442,29 @@ def is_rtl_text(text: str) -> bool:
 def _cluster_lines(spans: list[tuple[float, float, float, str]]):
     """Group spans into lines by baseline y (tolerance LINE_Y_TOL), then
     split any line whose consecutive x-origins gap by > COL_SPLIT_GAP —
-    two columns sharing a baseline are different lines."""
-    grouped: list[dict] = []
+    two columns sharing a baseline are different lines.
+
+    Lines are ``[y, size, spans]`` lists (round 8: dict records cost
+    ~10% of PDF assembly in hashing/lookup overhead)."""
+    grouped: list[list] = []
     for x, y, size, text in sorted(spans, key=lambda s: (-s[1], s[0])):
-        if grouped and abs(grouped[-1]["y"] - y) <= LINE_Y_TOL:
-            grouped[-1]["spans"].append((x, text))
-            grouped[-1]["size"] = max(grouped[-1]["size"], size)
+        if grouped and abs(grouped[-1][0] - y) <= LINE_Y_TOL:
+            g = grouped[-1]
+            g[2].append((x, text))
+            if size > g[1]:
+                g[1] = size
         else:
-            grouped.append({"y": y, "size": size, "spans": [(x, text)]})
-    lines: list[dict] = []
-    for ln in grouped:
+            grouped.append([y, size, [(x, text)]])
+    lines: list[list] = []
+    for y, size, sp in grouped:
         run: list[tuple[float, str]] = []
-        for x, text in sorted(ln["spans"], key=lambda s: s[0]):
+        for x, text in sorted(sp, key=lambda s: s[0]):
             if run and x - run[-1][0] > COL_SPLIT_GAP:
-                lines.append({"y": ln["y"], "size": ln["size"], "spans": run})
+                lines.append([y, size, run])
                 run = []
             run.append((x, text))
         if run:
-            lines.append({"y": ln["y"], "size": ln["size"], "spans": run})
+            lines.append([y, size, run])
     return lines
 
 
@@ -485,7 +490,7 @@ def _line_text(line: dict) -> str:
 
     NOTE: RTL ordering is the explicit stable sort by -x, NOT reversal —
     two spans sharing an x must keep their stable order."""
-    spans = line["spans"]
+    spans = line[2]
     joined = "".join(t for _, t in spans)
     if not _ARABIC_RE.search(joined):
         # LTR fast path: no Arabic anywhere in the line means the base is
@@ -508,9 +513,9 @@ def _line_text(line: dict) -> str:
     return " ".join(t for _, t in out if t)
 
 
-def _detect_columns(lines: list[dict]) -> list[list[dict]]:
+def _detect_columns(lines: list[list]) -> list[list[list]]:
     """Cluster line x-origins; return lines grouped per column (l->r)."""
-    starts = sorted(min(x for x, _ in ln["spans"]) for ln in lines)
+    starts = sorted(min(x for x, _ in ln[2]) for ln in lines)
     clusters: list[list[float]] = []
     for s in starts:
         if clusters and s - clusters[-1][0] <= COL_CLUSTER_TOL:
@@ -526,17 +531,17 @@ def _detect_columns(lines: list[dict]) -> list[list[dict]]:
     if not ok:
         return [lines]
     bounds = [(centers[i] + centers[i + 1]) / 2 for i in range(len(centers) - 1)]
-    cols: list[list[dict]] = [[] for _ in clusters]
+    cols: list[list[list]] = [[] for _ in clusters]
     for ln in lines:
-        x0 = min(x for x, _ in ln["spans"])
+        x0 = min(x for x, _ in ln[2])
         ci = sum(1 for b in bounds if x0 > b)
         cols[ci].append(ln)
     return [c for c in cols if c]
 
 
-def _column_text(lines: list[dict]) -> str:
+def _column_text(lines: list[list]) -> str:
     """Join a column's lines: '\\n' within paragraph, '\\n\\n' across."""
-    lines = sorted(lines, key=lambda ln: -ln["y"])
+    lines = sorted(lines, key=lambda ln: -ln[0])
     parts: list[str] = []
     prev_y = None
     prev_size = None
@@ -547,10 +552,10 @@ def _column_text(lines: list[dict]) -> str:
         if prev_y is None:
             parts.append(txt)
         else:
-            gap = prev_y - ln["y"]
-            sep = "\n\n" if gap > PARA_GAP_FACTOR * max(prev_size, ln["size"]) else "\n"
+            gap = prev_y - ln[0]
+            sep = "\n\n" if gap > PARA_GAP_FACTOR * max(prev_size, ln[1]) else "\n"
             parts.append(sep + txt)
-        prev_y, prev_size = ln["y"], ln["size"]
+        prev_y, prev_size = ln[0], ln[1]
     return "".join(parts)
 
 

@@ -154,31 +154,40 @@ def ocr_pages(grids: list[np.ndarray]) -> list[str]:
     when each small page paid it separately (~50 pages/doc in the
     corpus). Identical output to per-page :func:`ocr_text`.
 
-    Round 8: same-width grids whose heights are exact cell multiples are
-    vstacked FIRST so the reshape/transpose cell segmentation also runs
-    once per document instead of once per page (the per-page
-    ``_grid_cells`` calls were ~20% of scan-doc kernel time; a stacked
-    grid segments into the concatenation of the per-grid cell rows, so
-    the per-page char slices are unchanged)."""
-    metas: list[tuple[int, int]] = []
-    cell_blocks: list[np.ndarray] = []
-    batchable = (
-        len(grids) > 1
-        and len({g.shape[1] for g in grids}) == 1
-        and all(g.shape[0] % CELL_H == 0 for g in grids)
-    )
-    if batchable:
-        stacked = np.vstack(grids)
-        cells, _, nc = _grid_cells(stacked)
-        cell_blocks.append(cells)
-        metas = [(g.shape[0] // CELL_H, nc) for g in grids]
-    else:
-        for g in grids:
-            cells, nr, nc = _grid_cells(g)
-            metas.append((nr, nc))
-            cell_blocks.append(cells)
-    if not cell_blocks:
+    Round 8: grids are GROUPED BY WIDTH and each group whose heights are
+    exact cell multiples is vstacked first, so the reshape/transpose
+    cell segmentation runs once per (doc, width) instead of once per
+    page (the per-page ``_grid_cells`` calls were ~20% of scan-doc
+    kernel time; a stacked grid segments into the concatenation of the
+    per-grid cell rows, so the per-page char slices are unchanged —
+    scanned-PDF docs mix page widths, hence per-width groups)."""
+    if not grids:
         return []
+    metas: list = [None] * len(grids)
+    cell_blocks: list = [None] * len(grids)
+    by_width: dict[int, list[int]] = {}
+    for idx, g in enumerate(grids):
+        if g.shape[0] % CELL_H == 0:
+            by_width.setdefault(int(g.shape[1]), []).append(idx)
+        else:  # stray rows: segment alone (truncation is per grid)
+            cells, nr, nc = _grid_cells(g)
+            metas[idx] = (nr, nc)
+            cell_blocks[idx] = cells
+    for idxs in by_width.values():
+        if len(idxs) == 1:
+            i = idxs[0]
+            cells, nr, nc = _grid_cells(grids[i])
+            metas[i] = (nr, nc)
+            cell_blocks[i] = cells
+            continue
+        stacked_cells, _, nc = _grid_cells(np.vstack([grids[i] for i in idxs]))
+        pos = 0
+        for i in idxs:
+            nr = grids[i].shape[0] // CELL_H
+            n = nr * nc
+            metas[i] = (nr, nc)
+            cell_blocks[i] = stacked_cells[pos : pos + n]
+            pos += n
     chars = _chars_for_cells(np.vstack(cell_blocks))
     out: list[str] = []
     pos = 0
