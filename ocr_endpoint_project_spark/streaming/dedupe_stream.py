@@ -55,9 +55,10 @@ from ..operators.dedup import (
     MINHASH_P,
     MINHASH_PERMS,
     _cap_hashed,
+    _doc_tokens,
     _shingles,
 )
-from ..functions.text import norm_tokens, shingle_hash32
+from ..functions.text import shingle_hash32
 
 _SIG_COLS = [f"mh{i}" for i in range(len(MINHASH_PERMS))]
 
@@ -74,10 +75,12 @@ def signature_frame(docs: DataFrame, hot: DataFrame | None = None) -> DataFrame:
     the signature leg (broadcast anti-join). When given it REPLACES the
     within-frame cap: the stream passes cumulative hot sets that already
     subsume any shingle hot within this one batch."""
-    hs = docs.select(
+    # token array hoisted (operators/dedup._doc_tokens): the shingle
+    # lambda slices it per element — round-8 CollapseProject fix
+    hs = _doc_tokens(docs).select(
         "doc_id",
         F.array_distinct(
-            F.transform(_shingles(norm_tokens("text")), lambda s: shingle_hash32(s))
+            F.transform(_shingles(F.col("t")), lambda s: shingle_hash32(s))
         ).alias("hs"),
     )
     hashed = hs.select("doc_id", F.explode("hs").alias("h"))
@@ -352,12 +355,12 @@ def make_batch_handler(spark: SparkSession, out_dir: str, state_dir: str):
         # per-batch shingle df, then the CUMULATIVE hot set (state + batch):
         # a shingle cool in every batch but hot across them still gets capped
         batch_counts = (
-            batch_df.select(
+            _doc_tokens(batch_df).select(
                 "doc_id",
                 F.explode(
                     F.array_distinct(
                         F.transform(
-                            _shingles(norm_tokens("text")), lambda s: shingle_hash32(s)
+                            _shingles(F.col("t")), lambda s: shingle_hash32(s)
                         )
                     )
                 ).alias("h"),
