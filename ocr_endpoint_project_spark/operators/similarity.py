@@ -70,10 +70,15 @@ def ivf_assign(emb: DataFrame) -> DataFrame:
     """Assign every vector to its nearest centroid (argmin quantized L2).
 
     Returns (vec_id, embedding, nrm, cell, dist_q). Broadcast nested-loop
-    over the k-cell centroid table, then a per-vector argmin window — the
-    standard IVF assignment shape, O(N*k) map-side flops and one window.
-    The vector norm rides along so the pinned assignment table (the IVF
-    index) carries it: every downstream pair cosine is one dot, not three.
+    over the k-cell centroid table, then a per-vector argmin as ONE
+    map-side-combinable aggregate: ``min(struct(dist_q, cell))`` is
+    lexicographic, identical to the former row_number window ordered
+    (dist asc, cell asc), but the partial aggregation collapses the k
+    scored rows per vector BEFORE the exchange — the window shape
+    shuffled k copies of every (embedding, nrm) row (round 8, guide
+    §2.3). The vector norm rides along so the pinned assignment table
+    (the IVF index) carries it: every downstream pair cosine is one
+    dot, not three.
     """
     cent = ivf_centroids(emb)
     # nrm/eq HOISTED (functions/text.hoist): eq feeds the per-cell dist
@@ -89,14 +94,18 @@ def ivf_assign(emb: DataFrame) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    scored = vq.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "embedding", "nrm", "cell", dist.alias("dist_q")
+    scored = vq.select("vec_id", "eq").crossJoin(F.broadcast(cent)).select(
+        "vec_id", F.col("cell"), dist.alias("dist_q")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("dist_q"), F.asc("cell"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct("dist_q", "cell")).alias("m")
+    )
+    return vq.join(best, "vec_id").select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.col("m.cell").alias("cell"),
+        F.col("m.dist_q").alias("dist_q"),
     )
 
 
