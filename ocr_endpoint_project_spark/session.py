@@ -51,9 +51,10 @@ def build_session(
         # instead of preserving parallelism on tiny shuffles). At scale
         # partitions above the advisory never coalesce, so this only
         # removes minimum-size task overhead; the advisory is
-        # parameterized for cluster tuning. Measured -9% on the sf0.1
-        # warm query section (OPTIMIZATION_r08.md) together with the v2
-        # committer below.
+        # parameterized for cluster tuning. Local effect (with the v2
+        # committer below): within window noise — paired in-session A/B
+        # median ratio ~1.02 (OPTIMIZATION_r08.md) — kept on the scale
+        # argument, not a claimed local win.
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
